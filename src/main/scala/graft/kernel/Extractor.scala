@@ -1,0 +1,186 @@
+package graft.kernel
+
+import java.util.regex.Pattern
+
+import graft.core.{Doc, InKind, OutKind, Span, Spec}
+
+/** Parallel extraction kernel — implementation #1 of EXTRACTION_SPEC.md.
+  *
+  * A pure function `Doc => Doc` with no Spark imports: the Spark job applies
+  * it via typed `mapPartitions` over `Encoders` (SURVEY.md §2.9); unit tests
+  * and property tests call it directly. Style: functional/collection-based
+  * (the golden oracle is deliberately imperative — independent
+  * implementations, shared constants only).
+  *
+  * Reference semantics: exemption scan `openfoia/pipeline/ocr.py:262-286`,
+  * entity extraction shape `openfoia/pipeline/extract.py:69-114`, reading
+  * order `openfoia/pipeline/ocr.py:75-96,206-227`.
+  */
+object Extractor extends Serializable {
+
+  /** Compiled detector tables. Compiled once per JVM (executor) at first
+    * use — the "compiled regex DFAs broadcast to executors" of the north
+    * rule: the pattern *strings* ship in the closure/broadcast; compilation
+    * is lazy per executor. */
+  private[graft] lazy val entityDetectors: IndexedSeq[(String, Pattern)] =
+    Spec.EntityPatterns.toIndexedSeq.map { case (kind, re) => (kind, Pattern.compile(re)) }
+
+  private[graft] lazy val exemptionDetectors: IndexedSeq[(String, Pattern)] =
+    Spec.ExemptionPatterns.toIndexedSeq.map { case (re, _) =>
+      (Spec.canonicalExemptionCode(re), Pattern.compile(re, Pattern.CASE_INSENSITIVE))
+    }
+
+  private val anchorRe: Pattern = Pattern.compile("(?s)<a\\b[^>]*>(.*?)</a>")
+
+  // ------------------------------------------------------------- primitives
+
+  /** EXTRACTION_SPEC §1: drop every `<...>` run; an unclosed `<` drops the
+    * rest of the string. */
+  private[graft] def stripTags(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var inTag = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inTag) { if (c == '>') inTag = false }
+      else if (c == '<') inTag = true
+      else sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
+  private[graft] def decodeEntities(s: String): String =
+    Spec.HtmlEntities.foldLeft(s) { case (acc, (ent, ch)) => acc.replace(ent, ch) }
+
+  private[graft] def normWs(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) { if (sb.length() > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  private[graft] def cleanHtml(s: String): String = normWs(decodeEntities(stripTags(s)))
+  private[graft] def cleanPlain(s: String): String = normWs(s)
+
+  private def wordCount(cleaned: String): Int =
+    if (cleaned.isEmpty) 0 else cleaned.count(_ == ' ') + 1
+
+  // --------------------------------------------------------------- scoring
+
+  private[graft] final case class HtmlScore(
+      cleaned: String, words: Int, linkDensity: Double, wordsPerLine: Double)
+
+  private[graft] def scoreHtml(kind: String, raw: String): HtmlScore = {
+    val cleaned = cleanHtml(raw)
+    val words = wordCount(cleaned)
+    val lines = raw.count(_ == '\n') + 1
+    val linkDensity =
+      if (kind == InKind.HtmlLink) 1.0
+      else if (cleaned.isEmpty) 0.0
+      else {
+        val m = anchorRe.matcher(raw)
+        val inners = Iterator.continually(m).takeWhile(_.find()).map(_.group(1)).toSeq
+        cleanHtml(inners.mkString(" ")).length.toDouble / cleaned.length
+      }
+    HtmlScore(cleaned, words, linkDensity, words.toDouble / lines)
+  }
+
+  private[graft] def survives(s: HtmlScore): Boolean =
+    s.words >= Spec.MinWords &&
+      s.linkDensity <= Spec.MaxLinkDensity &&
+      s.wordsPerLine >= Spec.MinWordsPerLine
+
+  // ------------------------------------------------------------ detections
+
+  /** All detector matches over cleaned text, sorted by (start,end,detector).
+    * EXTRACTION_SPEC §3. */
+  private[graft] def detections(cleaned: String): Seq[Span] = {
+    val hits = Seq.newBuilder[(Int, Int, Int, Span)]
+    var d = 0
+    entityDetectors.foreach { case (kind, p) =>
+      val m = p.matcher(cleaned)
+      while (m.find()) hits += ((m.start, m.end, d, Span(OutKind.entity(kind), m.group(), "", 0)))
+      d += 1
+    }
+    exemptionDetectors.foreach { case (code, p) =>
+      val m = p.matcher(cleaned)
+      while (m.find()) hits += ((m.start, m.end, d, Span(OutKind.Redaction, code, "", 0)))
+      d += 1
+    }
+    hits.result().sortBy { case (s, e, i, _) => (s, e, i) }.map(_._4)
+  }
+
+  // ------------------------------------------------------------- pdf parse
+
+  private[graft] final case class PdfBlock(page: Int, y: Int, x: Int, body: String)
+
+  private[graft] def parsePdf(raw: String): PdfBlock = {
+    val m = Spec.PdfHeader.matcher(raw)
+    if (m.find())
+      PdfBlock(m.group(1).toInt, m.group(2).toInt, m.group(3).toInt, raw.substring(m.end))
+    else PdfBlock(Int.MaxValue, Int.MaxValue, Int.MaxValue, raw)
+  }
+
+  // ------------------------------------------------------------ the kernel
+
+  private def sanitize(s: String): String = {
+    val t = if (s == null) "" else s
+    if (t.length > Spec.MaxSpanChars) t.substring(0, Spec.MaxSpanChars) else t
+  }
+
+  /** EXTRACTION_SPEC §0-4 end to end. Pure; deterministic. */
+  def extractDoc(doc: Doc): Doc = {
+    val input =
+      (if (doc.spans == null) Seq.empty[Span] else doc.spans)
+        .sortBy(_.offset)
+        .map(s => Span(s.kind, sanitize(s.text), if (s.media_ref == null) "" else s.media_ref, s.offset))
+
+    // Reading-order permutation of pdf bodies across pdf slots (§2.2).
+    val pdfSlots = input.zipWithIndex.collect { case (s, i) if s.kind == InKind.PdfBlock => i }
+    val pdfSorted = pdfSlots
+      .map { i => (parsePdf(input(i).text), input(i).offset) }
+      .sortBy { case (b, off) => (b.page, b.y, b.x, off) }
+      .map(_._1)
+    val pdfBodyAtSlot: Map[Int, String] =
+      pdfSlots.zip(pdfSorted.map(_.body)).toMap
+
+    val out = input.zipWithIndex.flatMap { case (span, slot) =>
+      span.kind match {
+        case InKind.HtmlBlock | InKind.HtmlBoiler | InKind.HtmlLink =>
+          val sc = scoreHtml(span.kind, span.text)
+          if (survives(sc)) Span(OutKind.Text, sc.cleaned, "", 0) +: detections(sc.cleaned)
+          else Seq.empty
+        case InKind.PdfBlock =>
+          val body = cleanPlain(pdfBodyAtSlot(slot))
+          Span(OutKind.Text, body, "", 0) +: detections(body)
+        case InKind.Media =>
+          Seq(Span(OutKind.Media, "", span.media_ref, 0))
+        case InKind.Redaction =>
+          val t = cleanPlain(span.text)
+          val hits = Seq.newBuilder[(Int, Int, Int, String)]
+          var d = 0
+          exemptionDetectors.foreach { case (code, p) =>
+            val m = p.matcher(t)
+            while (m.find()) hits += ((m.start, m.end, d, code))
+            d += 1
+          }
+          val sorted = hits.result().sortBy { case (s, e, i, _) => (s, e, i) }
+          if (sorted.isEmpty) Seq(Span(OutKind.Redaction, t, "", 0))
+          else sorted.map { case (_, _, _, code) => Span(OutKind.Redaction, code, "", 0) }
+        case _ => Seq.empty
+      }
+    }
+
+    Doc(doc.doc_id, out.zipWithIndex.map { case (s, i) => s.copy(offset = i) })
+  }
+}
