@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.gen.{CorpusWriter, SpanGen}
+import graft.golden.GoldenExtractor
+import graft.job.{Checkpoint, ExtractJob}
+
+/** End-to-end job tests (SURVEY.md §5.2 items 2-4): span equality vs golden
+  * at scale sf-test, lineage conservation, parallelism invariance, resume. */
+class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val base = Files.createTempDirectory("extractjobspec").toString
+  private val nDocs = 2000L
+  private val P = 16
+
+  override def beforeAll(): Unit = {
+    spark.sparkContext.setLogLevel("ERROR")
+    CorpusWriter.write(spark, nDocs, s"$base/in", 8)
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("end-to-end span-sequence equality vs golden on the full sf-test corpus") {
+    val rep = ExtractJob.run(spark, s"$base/in", s"$base/out", "r1", P)
+    assert(rep.docsIn == nDocs && rep.docsOut == nDocs && rep.quarantined == 0)
+
+    val got = ExtractJob.readSpans(spark, s"$base/out")
+      .collect().map(d => d.doc_id -> d.spans).toMap
+    assert(got.size == nDocs)
+    var i = 0L
+    while (i < nDocs) {
+      val id = SpanGen.docId(i)
+      val golden = GoldenExtractor.extract(SpanGen.genDoc(id))
+      val mine = got(id)
+      if (mine != golden.spans) {
+        val d = mine.zip(golden.spans).indexWhere { case (a, b) => a != b }
+        fail(s"doc $id first divergence at $d: got=${mine.lift(d)} want=${golden.spans.lift(d)}")
+      }
+      i += 1
+    }
+  }
+
+  test("lineage conservation: sum(docs_in)=N, sum(docs_out)=N-quarantined, all pids present") {
+    val rows = ExtractJob.readLineage(spark, s"$base/out").collect()
+    assert(rows.map(_.partition_id).sorted.toSeq == (0 until P).filter(p => rows.exists(_.partition_id == p)))
+    assert(rows.map(_.docs_in).sum == nDocs)
+    assert(rows.map(_.docs_out).sum == nDocs)
+    assert(Checkpoint.completedPids(s"$base/out") == (0 until P).toSet)
+  }
+
+  test("each task holds exactly one logical pid (identity placement)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dist = spark.read.parquet(s"$base/in")
+      .select(pmod(hash(col("doc_id"), lit(graft.core.Spec.Salt)), lit(P)).cast("int").as("pid"))
+      .repartition(P, col("doc_id"), lit(graft.core.Spec.Salt))
+      .mapPartitions { it =>
+        Iterator.single((org.apache.spark.TaskContext.getPartitionId(), it.map(_.getInt(0)).toSet))
+      }.collect()
+    assert(dist.forall { case (phys, pids) => pids.forall(_ == phys) },
+      s"placement broke: ${dist.filter { case (ph, pids) => pids.exists(_ != ph) }.toSeq}")
+  }
+
+  test("output invariant to parallelism and partition count") {
+    val outA = s"$base/outP7"
+    val rep = ExtractJob.run(spark, s"$base/in", outA, "r7", numPartitions = 7)
+    assert(rep.docsOut == nDocs)
+    val a = ExtractJob.readSpans(spark, outA).collect().map(d => d.doc_id -> d.spans).toMap
+    val b = ExtractJob.readSpans(spark, s"$base/out").collect().map(d => d.doc_id -> d.spans).toMap
+    assert(a == b)
+  }
+
+  test("resume: killed-after-k-waves restart produces identical output, no double processing") {
+    val out = s"$base/outResume"
+    val partial = ExtractJob.run(spark, s"$base/in", out, "rA", P, waveSize = 3, maxWaves = 2)
+    assert(partial.processedPids.size == 6)
+    assert(Checkpoint.completedPids(out).size == 6)
+
+    val resumed = ExtractJob.run(spark, s"$base/in", out, "rB", P, resume = true, waveSize = 3)
+    assert(resumed.skippedPids.toSet == partial.processedPids.toSet)
+    assert(resumed.processedPids.toSet.intersect(partial.processedPids.toSet).isEmpty)
+
+    val a = ExtractJob.readSpans(spark, out).collect().map(d => d.doc_id -> d.spans).toMap
+    val b = ExtractJob.readSpans(spark, s"$base/out").collect().map(d => d.doc_id -> d.spans).toMap
+    assert(a == b)
+
+    // lineage checksums of matching pids agree between the two outputs
+    val la = ExtractJob.readLineage(spark, out).collect().map(r => r.partition_id -> r.checksum).toMap
+    val lb = ExtractJob.readLineage(spark, s"$base/out").collect().map(r => r.partition_id -> r.checksum).toMap
+    assert(la == lb)
+  }
+
+  test("quarantine: a poison doc never fails the stage") {
+    import spark.implicits._
+    // text crafted to blow up nothing in the kernel — so instead poison via
+    // an enormous offset duplication? The kernel is total; simulate poison by
+    // a null doc_id (digest NPE averted? doc_id null -> NPE in checksum)
+    val in2 = s"$base/in_poison"
+    val docs = Seq(
+      graft.core.Doc(null, Vector(graft.core.Span("pdf_block", "p=1;y=0;x=0|x", "", 0))),
+      graft.core.Doc("ok1", Vector(graft.core.Span("pdf_block", "p=1;y=0;x=0|fine", "", 0))))
+    spark.createDataset(docs).write.mode("overwrite").parquet(in2)
+    val rep = ExtractJob.run(spark, in2, s"$base/out_poison", "rp", 4)
+    assert(rep.docsIn == 2)
+    assert(rep.docsOut + rep.quarantined == 2)
+  }
+}
