@@ -1,13 +1,460 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.gen.SpanGen
+import graft.kernel.Extractor
+import graft.queries.TrainingOps
+
+/** Driver contract: one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the training-data ops), with a DuckDB oracle wherever the
+  * operator is SQL-expressible. Column names/aliases match between the Spark
+  * plan and the oracle SQL exactly (driver hash-compares after sorting
+  * columns by name).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: the extraction pipeline on a generated interleaved corpus —
+    * per-kind span histogram. Driver smoke-checks rows>0 on sf0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.range(0L, 300L).map(i => Extractor.extractDoc(SpanGen.genDoc(SpanGen.docId(i))))
+      .select(explode($"spans").as("s"))
+      .groupBy($"s.kind".as("kind")).agg(count("*").as("n"))
+      .orderBy($"kind")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ----------------------------------------------------------- flagship
+    // TPC-H Q1-shaped pricing summary (SURVEY §2.4 A2/A4/A5)
+    "q1_agg" -> ((s, d) => t(s, d, "lineitem")
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // TPC-H Q3-shaped top-revenue orders (join + agg + top-k)
+    "q3_top_orders" -> ((s, d) => {
+      val c = t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+      val o = t(s, d, "orders").where(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
+      val l = t(s, d, "lineitem").where(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .select(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey")).limit(10)
+    }),
+
+    // ------------------------------------------------------ scans (§2.1)
+    // S1/F1: ingest checksum + size guard
+    "s1_ingest_checksum" -> ((s, d) => t(s, d, "documents")
+      .where(col("n_chars") <= 300)
+      .select(col("doc_id"), sha2(col("text"), 256).as("checksum"), col("n_chars"))
+      .orderBy(col("doc_id"))),
+
+    // --------------------------------------- filters / projections (§2.2)
+    // P1/O1: ilike OR search, ordered + limited (cli.py:788-797)
+    "p1_ilike_search" -> ((s, d) => t(s, d, "documents")
+      .where(lower(col("text")).contains("scan") || lower(col("source")).contains("rc1"))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id")).limit(100)),
+
+    // P2: equality filters on enum-ish columns
+    "p2_eq_filter" -> ((s, d) => t(s, d, "documents")
+      .where(col("lang") === "es" && col("source") === "src0")
+      .select(col("doc_id"), col("n_chars")).orderBy(col("doc_id"))),
+
+    // P3: status-set predicate (campaign.py:227-231)
+    "p3_status_set" -> ((s, d) => t(s, d, "orders")
+      .where(col("o_orderstatus").isin("F", "P"))
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))),
+
+    // P6: derived predicates days_pending/is_overdue (models.py:231-241)
+    "p6_derived_overdue" -> ((s, d) => t(s, d, "orders")
+      .select((datediff(lit("2001-09-01").cast("timestamp"), col("o_orderdate")) > 365)
+        .as("is_overdue"))
+      .groupBy(col("is_overdue")).agg(count(lit(1)).as("n"))
+      .orderBy(col("is_overdue"))),
+
+    // ---------------------------------------------------------- joins (§2.3)
+    // J1: FK navigation region→nation→customer→orders; dims broadcast
+    "j1_fk_navigation" -> ((s, d) => t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("r_name"), col("n_name"))),
+
+    // left_semi (EXISTS)
+    "j2_semi_parts" -> ((s, d) => t(s, d, "part")
+      .join(t(s, d, "lineitem"), col("p_partkey") === col("l_partkey"), "left_semi")
+      .groupBy(col("p_brand")).agg(count(lit(1)).as("n_parts"))
+      .orderBy(col("p_brand"))),
+
+    // left_anti (NOT EXISTS) — resume-filter shape (SURVEY §4.3);
+    // customers with no order in the last window
+    "j3_anti_customers" -> ((s, d) => t(s, d, "customer")
+      .join(t(s, d, "orders").where(col("o_orderdate") >= lit("2001-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .orderBy(col("c_mktsegment"))),
+
+    // ---------------------------------------------------- aggregates (§2.4)
+    // A2: group-by counts (campaign.py:221-224)
+    "a2_status_counts" -> ((s, d) => t(s, d, "orders")
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))),
+
+    // A3: dedup + argmax (extract.py:239-260 _merge_entities shape)
+    "a3_argmax_doc" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("n_chars").desc, col("doc_id").asc)
+      t(s, d, "documents").withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    // A4: AVG with null guard (campaign.py:233-241)
+    "a4_avg_value" -> ((s, d) => t(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(round(avg(coalesce(col("value"), lit(0.0))), 4).as("avg_value"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))),
+
+    // A5: SUM of derived fee (campaign.py:244-245)
+    "a5_revenue_by_flag" -> ((s, d) => t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("l_returnflag"))),
+
+    // A6: ratio metrics (models.py:342-346)
+    "a6_completion_ratio" -> ((s, d) => t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(round(sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).cast("double") /
+        count(lit(1)), 4).as("completion_rate"), count(lit(1)).as("n"))
+      .orderBy(col("c_mktsegment"))),
+
+    // A8: regex pattern-count aggregate (ocr.py:266-274 shape)
+    "a8_pattern_count" -> ((s, d) => t(s, d, "documents")
+      .groupBy(col("lang"))
+      .agg(sum(size(regexp_extract_all(col("text"), lit("scan|join"), lit(0))))
+        .cast("long").as("n_matches"))
+      .orderBy(col("lang"))),
+
+    // rollup (§2.4 built-in coverage)
+    "a10_rollup" -> ((s, d) => t(s, d, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("n"))
+      .orderBy(col("rf"), col("ls"))),
+
+    // multi count-distinct (A1 family)
+    "a11_distinct" -> ((s, d) => t(s, d, "lineitem")
+      .agg(countDistinct(col("l_partkey")).as("parts"),
+        countDistinct(col("l_suppkey")).as("supps"),
+        countDistinct(col("l_orderkey")).as("orders"))),
+
+    // ------------------------------------------------------ windows (§2.5)
+    // W1: top-k per group (extract.py:279-283)
+    "w1_topk_docs" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("n_chars").desc, col("doc_id").asc)
+      t(s, d, "documents").withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 10)
+        .select(col("lang"), col("doc_id"), col("n_chars"), col("rank"))
+        .orderBy(col("lang"), col("rank"))
+    }),
+
+    // W3: running average (ocr.py:220-222 blend, done properly)
+    "w3_running_avg" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // exact: accumulate integer cents, divide once — running fp sums are
+      // not reproducible across engines
+      val cents = round(col("value") * 100, 0).cast("long")
+      val q = sum(cents).over(w).cast("double") / (count(lit(1)).over(w) * 100)
+      // floor-based half-up rounding: identical IEEE ops in both engines
+      // (Spark's round() rounds the shortest-decimal repr, DuckDB the binary
+      // value — they disagree on exact .xx5 quotients)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          (floor(q * 100 + 0.5) / 100).as("run_avg"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // lag/lead: inter-event gaps in ms
+    "w4_session_gaps" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          coalesce(unix_millis(col("ts").cast("timestamp")) -
+            lag(unix_millis(col("ts").cast("timestamp")), 1).over(w), lit(-1L))
+            .as("gap_ms"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // rank per group
+    "w5_rank_customers" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, d, "customer").withColumn("rnk", rank().over(w).cast("long"))
+        .where(col("rnk") <= 5)
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"), col("rnk"))
+        .orderBy(col("c_nationkey"), col("rnk"))
+    }),
+
+    // ------------------------------------------------- sorts/limits (§2.6)
+    "o1_top_docs" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("n_chars").desc, col("doc_id")).limit(50)),
+
+    // ------------------------------------------------------ set ops (§2.7)
+    // parts never shipped in the final year
+    "set_except_parts" -> ((s, d) => t(s, d, "part").select(col("p_partkey"))
+      .except(t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("2001-01-01").cast("timestamp"))
+        .select(col("l_partkey")))
+      .orderBy(col("p_partkey")).limit(200)),
+
+    "set_intersect_custkeys" -> ((s, d) => t(s, d, "customer").select(col("c_custkey"))
+      .intersect(t(s, d, "orders").select(col("o_custkey")))
+      .agg(count(lit(1)).as("n"))),
+
+    "set_union_ids" -> ((s, d) => t(s, d, "customer").select(col("c_custkey").as("id"))
+      .union(t(s, d, "orders").select(col("o_custkey").as("id")))
+      .distinct().agg(count(lit(1)).as("n"))),
+
+    // ----------------------------------------------- scalar funcs (§2.8)
+    // F2: lower/trim normalization
+    "f2_normalize_distinct" -> ((s, d) => t(s, d, "customer")
+      .select(lower(trim(col("c_mktsegment"))).as("seg")).distinct().orderBy(col("seg"))),
+
+    // F8: regex group extraction (mail.py:186-209 shape)
+    "f8_regex_extract_groups" -> ((s, d) => t(s, d, "events")
+      .select(regexp_extract(col("props"), "\"k\": (\\d+)", 1).as("k_str"))
+      .groupBy(col("k_str")).agg(count(lit(1)).as("n")).orderBy(col("k_str"))),
+
+    // F9: date parts + arithmetic (campaign.py:235-239)
+    "f9_date_buckets" -> ((s, d) => t(s, d, "orders")
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("yr"), col("mo"))),
+
+    // F12: MIME inference map (ingest.py:62-63)
+    "f12_mime_infer" -> ((s, d) => t(s, d, "documents")
+      .select(when(col("source") === "src0", "application/pdf")
+        .when(col("source") === "src1", "text/html")
+        .when(col("source") === "src2", "text/plain")
+        .otherwise("application/octet-stream").as("mime"))
+      .groupBy(col("mime")).agg(count(lit(1)).as("n")).orderBy(col("mime"))),
+
+    // F15: JSON extraction (config.py:155-165 shape)
+    "f15_json_extract" -> ((s, d) => t(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(round(avg(get_json_object(col("props"), "$.k").cast("long")), 4).as("avg_k"))
+      .orderBy(col("event_type"))),
+
+    // ------------------------------------- training-data ops: dedup family
+    "dd_exact_summary" -> ((s, d) => TrainingOps.dedupExactSummary(t(s, d, "documents"))),
+    "dd_minhash_pairs" -> ((s, d) => TrainingOps.minhashPairs(s, t(s, d, "documents"), minSim = 0.05)),
+    "dd_simhash_pairs" -> ((s, d) => TrainingOps.simhashPairs(s, t(s, d, "documents"), maxHamming = 8)),
+    "dd_ngram_jaccard" -> ((s, d) => TrainingOps.ngramJaccardPairs(s, t(s, d, "documents"), minJaccard = 0.02)),
+
+    // ------------------------------------------- similarity search (ANN)
+    "sim_cosine_topk" -> ((s, d) => TrainingOps.cosineTopK(s, t(s, d, "embeddings"))),
+    "sim_ann_lsh" -> ((s, d) => TrainingOps.annLshTopK(s, t(s, d, "embeddings"))),
+
+    // ------------------------------------------------- text analysis ops
+    "ta_token_counts" -> ((s, d) => TrainingOps.tokenCounts(t(s, d, "documents"))),
+    "ta_quality_score" -> ((s, d) => TrainingOps.qualityScore(t(s, d, "documents"))),
+    "ta_lang_id" -> ((s, d) => TrainingOps.langId(t(s, d, "documents"))),
+    "ta_fingerprints" -> ((s, d) => TrainingOps.fingerprints(s, t(s, d, "documents"))),
+
+    // ------------------------------------- extraction pipeline (north rule)
+    // non-SQL-expressible: verified by golden-equality specs instead
+    "ex_kind_histogram" -> ((s, _) => entry(s)),
+    "ex_spans_per_doc" -> ((s, _) => {
+      import s.implicits._
+      s.range(0L, 300L).map(i => Extractor.extractDoc(SpanGen.genDoc(SpanGen.docId(i))))
+        .select(col("doc_id"), size(col("spans")).cast("long").as("n_spans"))
+        .orderBy(col("doc_id")).limit(100)
+    }),
+    "ex_entity_top" -> ((s, _) => {
+      import s.implicits._
+      s.range(0L, 300L).map(i => Extractor.extractDoc(SpanGen.genDoc(SpanGen.docId(i))))
+        .select(explode(col("spans")).as("s"))
+        .where(col("s.kind").startsWith("entity:"))
+        .groupBy(col("s.kind").as("kind")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("kind")).limit(20)
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | round(avg(l_quantity),4) AS avg_qty, count(*) AS n_rows
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_orders" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment='BUILDING' AND c_custkey=o_custkey AND l_orderkey=o_orderkey
+        | AND o_orderdate < TIMESTAMP '1998-06-01' AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "s1_ingest_checksum" ->
+      """SELECT doc_id, sha256(text) AS checksum, n_chars FROM documents
+        |WHERE n_chars <= 300 ORDER BY doc_id""".stripMargin,
+    "p1_ilike_search" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE lower(text) LIKE '%scan%' OR lower(source) LIKE '%rc1%'
+        |ORDER BY doc_id LIMIT 100""".stripMargin,
+    "p2_eq_filter" ->
+      "SELECT doc_id, n_chars FROM documents WHERE lang='es' AND source='src0' ORDER BY doc_id",
+    "p3_status_set" ->
+      """SELECT o_orderstatus, count(*) AS n FROM orders
+        |WHERE o_orderstatus IN ('F','P') GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "p6_derived_overdue" ->
+      """SELECT datediff('day', o_orderdate, TIMESTAMP '2001-09-01') > 365 AS is_overdue,
+        | count(*) AS n FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j1_fk_navigation" ->
+      """SELECT r_name, n_name, count(*) AS n_orders, round(sum(o_totalprice),2) AS total
+        |FROM region JOIN nation ON n_regionkey=r_regionkey
+        | JOIN customer ON c_nationkey=n_nationkey JOIN orders ON o_custkey=c_custkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "j2_semi_parts" ->
+      """SELECT p_brand, count(*) AS n_parts FROM part
+        |WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "j3_anti_customers" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey
+        |  AND o_orderdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "a2_status_counts" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders
+        |GROUP BY o_orderstatus, o_orderpriority ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "a3_argmax_doc" ->
+      """SELECT lang, doc_id, n_chars FROM (
+        | SELECT lang, doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rn
+        | FROM documents) WHERE rn=1 ORDER BY lang""".stripMargin,
+    "a4_avg_value" ->
+      """SELECT event_type, round(avg(coalesce(value,0)),4) AS avg_value, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a5_revenue_by_flag" ->
+      """SELECT l_returnflag, round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a6_completion_ratio" ->
+      """SELECT c_mktsegment,
+        | round(CAST(sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS DOUBLE)/count(*),4)
+        |  AS completion_rate, count(*) AS n
+        |FROM orders JOIN customer ON o_custkey=c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "a8_pattern_count" ->
+      """SELECT lang, CAST(sum(len(regexp_extract_all(text,'scan|join'))) AS BIGINT) AS n_matches
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "a10_rollup" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS rf, coalesce(l_linestatus,'ALL') AS ls,
+        | count(*) AS n FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "a11_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS parts, count(DISTINCT l_suppkey) AS supps,
+        | count(DISTINCT l_orderkey) AS orders FROM lineitem""".stripMargin,
+    "w1_topk_docs" ->
+      """SELECT lang, doc_id, n_chars, rank FROM (
+        | SELECT lang, doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rank
+        | FROM documents) WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
+    "w3_running_avg" ->
+      """SELECT user_id, event_id,
+        | floor((CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w AS DOUBLE)
+        |  / (count(*) OVER w * 100)) * 100 + 0.5) / 100 AS run_avg
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "w4_session_gaps" ->
+      """SELECT user_id, event_id,
+        | coalesce(epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER
+        |  (PARTITION BY user_id ORDER BY ts, event_id), -1) AS gap_ms
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "w5_rank_customers" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal, rnk FROM (
+        | SELECT c_nationkey, c_custkey, c_acctbal,
+        |  rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        | FROM customer) WHERE rnk <= 5 ORDER BY c_nationkey, rnk""".stripMargin,
+    "o1_top_docs" ->
+      "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 50",
+    "set_except_parts" ->
+      """SELECT p_partkey FROM (SELECT p_partkey FROM part EXCEPT
+        | SELECT l_partkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-01-01')
+        |ORDER BY p_partkey LIMIT 200""".stripMargin,
+    "set_intersect_custkeys" ->
+      """SELECT count(*) AS n FROM
+        |(SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders)""".stripMargin,
+    "set_union_ids" ->
+      """SELECT count(*) AS n FROM
+        |(SELECT c_custkey AS id FROM customer UNION SELECT o_custkey FROM orders)""".stripMargin,
+    "f2_normalize_distinct" ->
+      "SELECT DISTINCT lower(trim(c_mktsegment)) AS seg FROM customer ORDER BY seg",
+    "f8_regex_extract_groups" ->
+      """SELECT regexp_extract(props, '"k": (\d+)', 1) AS k_str, count(*) AS n
+        |FROM events GROUP BY k_str ORDER BY k_str""".stripMargin,
+    "f9_date_buckets" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, CAST(month(o_orderdate) AS BIGINT) AS mo,
+        | count(*) AS n, round(sum(o_totalprice),2) AS total
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "f12_mime_infer" ->
+      """SELECT CASE source WHEN 'src0' THEN 'application/pdf' WHEN 'src1' THEN 'text/html'
+        |  WHEN 'src2' THEN 'text/plain' ELSE 'application/octet-stream' END AS mime,
+        | count(*) AS n FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "f15_json_extract" ->
+      """SELECT event_type,
+        | round(avg(CAST(json_extract_string(props,'$.k') AS BIGINT)),4) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "dd_exact_summary" ->
+      """SELECT CAST(count(*) AS BIGINT) AS total_docs,
+        | CAST(count(DISTINCT md5(text)) AS BIGINT) AS distinct_texts FROM documents""".stripMargin,
+    "sim_cosine_topk" ->
+      """SELECT query_id, neighbor_id, rank, sim FROM (
+        | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |  row_number() OVER (PARTITION BY q.vec_id
+        |   ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS rank,
+        |  round(CAST(list_cosine_similarity(q.embedding, e.embedding) AS DOUBLE), 4) AS sim
+        | FROM embeddings q JOIN embeddings e ON q.vec_id < 8 AND e.vec_id != q.vec_id)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ta_token_counts" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(text,'\S+')) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text,'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ta_quality_score" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        | CAST(len(regexp_extract_all(text,'\S+')) AS BIGINT) AS n_words,
+        | round(CASE WHEN len(regexp_extract_all(text,'\S+')) > 0
+        |  THEN CAST(len(regexp_extract_all(lower(text),'\b(the|and|of|to|a|in|is)\b')) AS DOUBLE)
+        |       / len(regexp_extract_all(text,'\S+')) ELSE 0 END, 4) AS stopword_ratio,
+        | round(CASE WHEN length(text) > 0
+        |  THEN CAST(len(regexp_extract_all(text,'[.,;:!?]')) AS DOUBLE) / length(text)
+        |  ELSE 0 END, 4) AS punct_ratio,
+        | round(CASE WHEN len(regexp_extract_all(text,'\S+')) > 0
+        |  THEN (CAST(length(text) AS DOUBLE) - (len(regexp_extract_all(text,'\S+')) - 1))
+        |       / len(regexp_extract_all(text,'\S+')) ELSE 0 END, 4) AS avg_word_len
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -1,0 +1,333 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.util.hashing.MurmurHash3
+
+/** Large-scale training-data pipeline operators over the `documents` and
+  * `embeddings` tables. All are expressed DataFrame-first; per-row compute
+  * (signatures) is a typed map — the only shuffles are the
+  * candidate-generation joins, which operate on banded keys so no pair
+  * enumeration ever goes quadratic.
+  *
+  * Scale notes (100 TB framing):
+  *  - signature computation is a narrow stage, O(doc) memory;
+  *  - LSH banding turns near-dup search from O(n²) into groupBy-join on
+  *    band keys; band width trades recall vs candidate volume;
+  *  - exact-jaccard verification joins only the candidate set;
+  *  - brute-force cosine is the small-query-set baseline (broadcast the
+  *    queries, never the corpus); the LSH bucket variant is the scale path.
+  */
+object TrainingOps {
+
+  // ----------------------------------------------------------- primitives
+
+  /** Stable 64-bit FNV-1a (no RNG, no platform dependence). */
+  private[queries] def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  private[queries] def tokens(text: String): Array[String] =
+    text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+
+  private[queries] def shingles(text: String, n: Int): Set[String] = {
+    val t = tokens(text)
+    if (t.length < n) Set(t.mkString(" "))
+    else t.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  /** MinHash signature: k permutations approximated by seeded murmur3. */
+  private[queries] def minhash(sh: Set[String], k: Int): Array[Int] = {
+    val sig = Array.fill(k)(Int.MaxValue)
+    sh.foreach { s =>
+      var i = 0
+      while (i < k) {
+        val h = MurmurHash3.stringHash(s, i * 0x9e3779b9 + 1)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  private[queries] def simhash64(text: String): Long = {
+    val votes = new Array[Int](64)
+    tokens(text).foreach { w =>
+      val h = fnv1a64(w)
+      var b = 0
+      while (b < 64) { if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
+    }
+    var r = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) r |= (1L << b); b += 1 }
+    r
+  }
+
+  // ------------------------------------------------------------ exact dedup
+
+  /** Exact dedup by content hash (hash-groupBy; partial agg map-side). */
+  def dedupExactSummary(docs: DataFrame): DataFrame =
+    docs.agg(
+      count("*").cast("long").as("total_docs"),
+      countDistinct(md5(col("text"))).cast("long").as("distinct_texts"))
+
+  /** Survivors of exact dedup: min doc_id per content hash. */
+  def dedupExactSurvivors(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("h"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"), count("*").cast("long").as("copies"))
+      .select(col("doc_id"), col("copies"))
+
+  // ---------------------------------------------------------- minhash LSH
+
+  final case class Sig(doc_id: Long, sig: Array[Int])
+
+  /** Near-dup candidate pairs via MinHash + banded LSH; similarity is the
+    * signature-estimated Jaccard (matching positions / k). */
+  def minhashPairs(spark: SparkSession, docs: DataFrame,
+      k: Int = 64, bands: Int = 16, minSim: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    require(k % bands == 0)
+    val rowsPerBand = k / bands
+
+    val sigs = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => Sig(id, minhash(shingles(text, 3), k)) }
+
+    val banded = sigs.flatMap { s =>
+      (0 until bands).iterator.map { b =>
+        val slice = s.sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
+        (b, MurmurHash3.arrayHash(slice), s.doc_id)
+      }
+    }.toDF("band", "bhash", "doc_id")
+
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    val sigDf = sigs.toDF("doc_id", "sig")
+    cands
+      .join(sigDf.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sigDf.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (aggregate(zip_with(col("sa.sig"), col("sb.sig"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / k).as("est_jaccard"))
+      .where(col("est_jaccard") >= minSim)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // --------------------------------------------------------------- simhash
+
+  /** SimHash near-dup pairs: band the 64-bit fingerprint into 4×16-bit
+    * chunks (any pair within hamming distance 3·16 shares ≥1 chunk ⇒ exact
+    * recall for hd ≤ maxHamming when maxHamming < 4·... recall is exact for
+    * hd ≤ 3 with 4 chunks; wider hd trades recall). */
+  def simhashPairs(spark: SparkSession, docs: DataFrame, maxHamming: Int = 16): DataFrame = {
+    import spark.implicits._
+    val fps = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, simhash64(text)) }
+      .toDF("doc_id", "fp")
+
+    val chunked = fps.select(col("doc_id"), col("fp"),
+        explode(array((0 until 4).map { c =>
+          struct(lit(c).as("chunk"),
+            shiftrightunsigned(col("fp"), c * 16).bitwiseAND(lit(0xffffL)).as("cval"))
+        }: _*)).as("ch"))
+      .select(col("doc_id"), col("fp"), col("ch.chunk"), col("ch.cval"))
+
+    chunked.as("a").join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ------------------------------------------------------- n-gram jaccard
+
+  /** Exact n-gram Jaccard via shingle inverted index (explode → self-join →
+    * |A∩B| counts → sizes join). Never materializes the full pair matrix —
+    * only pairs sharing ≥1 shingle. */
+  def ngramJaccardPairs(spark: SparkSession, docs: DataFrame,
+      n: Int = 3, minJaccard: Double = 0.05): DataFrame = {
+    import spark.implicits._
+    val sh = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) => shingles(text, n).iterator.map(s => (id, fnv1a64(s))) }
+      .toDF("doc_id", "sh")
+
+    val sizes = sh.groupBy(col("doc_id")).agg(count("*").as("sz"))
+
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count("*").as("inter"))
+
+    inter
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") /
+          (col("za.sz") + col("zb.sz") - col("inter")), 4).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // --------------------------------------------------- similarity search
+
+  private def cosine(a: Column, b: Column): Column = {
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(ad, lit(0.0), (acc, v) => acc + v * v))
+    val nb = sqrt(aggregate(bd, lit(0.0), (acc, v) => acc + v * v))
+    dot / (na * nb)
+  }
+
+  /** Brute-force cosine top-k: broadcast the (small) query set against the
+    * corpus; per-query top-k via window. The baseline an IVF/LSH variant is
+    * judged against. */
+  def cosineTopK(spark: SparkSession, emb: DataFrame,
+      nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val queries = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qe"), col("embedding")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Scale path: random-hyperplane LSH bucketing. Hyperplane weights are a
+    * pure function of (plane, dim) — no RNG at job time. Probes the query's
+    * bucket plus all hamming-1 neighbor buckets. */
+  def annLshTopK(spark: SparkSession, emb: DataFrame,
+      nPlanes: Int = 12, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val planes: Array[Array[Double]] = Array.tabulate(nPlanes, 64) { (p, d) =>
+      // deterministic pseudo-gaussian-ish weight in [-1, 1)
+      MurmurHash3.stringHash(s"$p:$d", 7919).toDouble / Int.MaxValue
+    }
+    val bPlanes = spark.sparkContext.broadcast(planes)
+
+    val sigged = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, e) =>
+        val ps = bPlanes.value
+        var bucket = 0
+        var p = 0
+        while (p < ps.length) {
+          var dot = 0.0; var d = 0
+          while (d < e.length && d < 64) { dot += ps(p)(d) * e(d); d += 1 }
+          if (dot >= 0) bucket |= (1 << p)
+          p += 1
+        }
+        (id, bucket)
+      }.toDF("vec_id", "bucket")
+
+    val embB = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .join(sigged, "vec_id")
+    // multiprobe: own bucket + every hamming-1 bucket (masks are literals)
+    val masks = lit(0) +: (0 until nPlanes).map(i => lit(1 << i))
+    val queries = embB.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket").as("qbucket"))
+      .withColumn("mask", explode(array(masks: _*)))
+      .select(col("query_id"), col("qe"), col("qbucket").bitwiseXOR(col("mask")).as("probe"))
+
+    val cands = embB.join(broadcast(queries),
+        col("bucket") === col("probe") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qe"), col("embedding")).as("sim"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    cands.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ----------------------------------------------------------- text stats
+
+  private val langMarkers: Seq[(String, String)] = Seq(
+    ("en", """\b(the|and|of|to|is|in)\b"""),
+    ("es", """\b(el|la|de|que|y|los)\b"""),
+    ("fr", """\b(le|la|les|des|et|une)\b"""),
+    ("de", """\b(der|die|das|und|ist|ein)\b"""),
+    ("zh", """[一-鿿]"""))
+
+  /** n-gram/stopword heuristic language ID; deterministic argmax with
+    * marker-table order as tie-break. */
+  def langId(docs: DataFrame): DataFrame = {
+    val scores = langMarkers.map { case (lang, re) =>
+      struct(size(regexp_extract_all(lower(col("text")), lit(re), lit(0))).as("score"),
+        lit(lang).as("lang"))
+    }
+    // argmax: array_max over (score, -index) — encode priority by ordering
+    val best = sort_array(array(scores.zipWithIndex.map { case (s, i) =>
+      struct(s.getField("score").as("score"), lit(-i).as("prio"), s.getField("lang").as("lang"))
+    }: _*), asc = false).getItem(0)
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("lang").as("actual"),
+        when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und")).as("predicted"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, mean word
+    * length — the standard pre-training filters. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val nChars = length(col("text")).cast("double")
+    val words = size(regexp_extract_all(col("text"), lit("""\S+"""), lit(0))).cast("double")
+    val stops = size(regexp_extract_all(lower(col("text")),
+      lit("""\b(the|and|of|to|a|in|is)\b"""), lit(0))).cast("double")
+    val puncts = size(regexp_extract_all(col("text"), lit("""[.,;:!?]"""), lit(0))).cast("double")
+    docs.select(
+        col("doc_id").cast("long").as("doc_id"),
+        nChars.cast("long").as("n_chars"),
+        words.cast("long").as("n_words"),
+        round(when(words > 0, stops / words).otherwise(0.0), 4).as("stopword_ratio"),
+        round(when(nChars > 0, puncts / nChars).otherwise(0.0), 4).as("punct_ratio"),
+        round(when(words > 0, (nChars - (words - 1)) / words).otherwise(0.0), 4).as("avg_word_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+        col("doc_id").cast("long").as("doc_id"),
+        size(regexp_extract_all(col("text"), lit("""\S+"""), lit(0))).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("""[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"""), lit(0))).cast("long").as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Document fingerprinting: winnowing-style — rolling 8-gram char hashes,
+    * keep the s smallest (a robust containment/near-dup sketch). */
+  def fingerprints(spark: SparkSession, docs: DataFrame, gram: Int = 8, keep: Int = 16): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val t = text
+        val hs =
+          if (t.length < gram) Array(fnv1a64(t))
+          else {
+            val arr = new Array[Long](t.length - gram + 1)
+            var i = 0
+            while (i + gram <= t.length) { arr(i) = fnv1a64(t.substring(i, i + gram)); i += 1 }
+            arr
+          }
+        (id, hs.distinct.sorted.take(keep))
+      }.toDF("doc_id", "fingerprint")
+      .orderBy(col("doc_id"))
+  }
+}
