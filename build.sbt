@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // cap GC worker threads: on a 32-core box the default (~23) competes
+  // with 32 executor threads and adds heavy run-to-run variance at high
+  // parallelism (measured via tools/ScaleProbe)
+  "-XX:ParallelGCThreads=8", "-XX:ConcGCThreads=2",
+) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)

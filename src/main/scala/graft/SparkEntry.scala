@@ -5,8 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.gen.SpanGen
-import graft.kernel.Extractor
-import graft.queries.TrainingOps
+import graft.kernel.{Chunker, Extractor}
+import graft.multimodal.MediaOps
+import graft.queries.{EntityLink, TrainingOps}
 
 /** Driver contract: one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data ops), with a DuckDB oracle wherever the
@@ -62,6 +63,13 @@ object SparkEntry {
       .where(col("n_chars") <= 300)
       .select(col("doc_id"), sha2(col("text"), 256).as("checksum"), col("n_chars"))
       .orderBy(col("doc_id"))),
+
+    // S4: directory scan via binaryFile source + glob (ingest.py:188-222)
+    "s4_dir_scan" -> ((s, d) => s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.parquet").load(d)
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
+        col("length"))
+      .orderBy(col("file"))),
 
     // --------------------------------------- filters / projections (§2.2)
     // P1/O1: ilike OR search, ordered + limited (cli.py:788-797)
@@ -171,6 +179,14 @@ object SparkEntry {
         countDistinct(col("l_suppkey")).as("supps"),
         countDistinct(col("l_orderkey")).as("orders"))),
 
+    // cube (§2.4 built-in coverage)
+    "a12_cube" -> ((s, d) => t(s, d, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("pr"), col("n"))
+      .orderBy(col("st"), col("pr"))),
+
     // ------------------------------------------------------ windows (§2.5)
     // W1: top-k per group (extract.py:279-283)
     "w1_topk_docs" -> ((s, d) => {
@@ -256,6 +272,35 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
       .orderBy(col("yr"), col("mo"))),
 
+    // F10: staggered send schedule, deterministic analog (campaign.py:181-215)
+    // — evenly spread over a 72h window from a fixed epoch, ±30min jitter
+    // from a hash of the key (no RNG), sends landing in the 02:00-06:00
+    // quiet window pushed +4h (campaign.py:199-208).
+    "f10_stagger_schedule" -> ((s, d) => {
+      val n = 100
+      val base = t(s, d, "orders").orderBy(col("o_orderkey")).limit(n)
+        .withColumn("rn", row_number().over(Window.orderBy(col("o_orderkey"))).cast("long") - 1)
+      val spreadSec = (col("rn") * lit(72L * 3600)) / lit(n)
+      val jitterSec = pmod(col("o_orderkey") * lit(2654435761L), lit(3601L)) - lit(1800L)
+      val t0 = to_timestamp(lit("2026-01-01 00:00:00"))
+      val sec = unix_timestamp(t0) + spreadSec.cast("long") + jitterSec
+      val hr = hour(timestamp_seconds(sec))
+      base.select(col("o_orderkey"),
+        when(hr >= 2 && hr < 6, sec + lit(4L * 3600)).otherwise(sec)
+          .as("send_at_sec")) // epoch seconds: timezone-free across engines
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // F13: page estimation + gateway cost math (fax.py:141-161, mail.py:138-168)
+    "f13_page_cost" -> ((s, d) => {
+      val pages = (col("n_chars") / lit(3000)).cast("long") + 1
+      t(s, d, "documents").select(
+        col("doc_id"), pages.as("pages"),
+        round(pages * lit(0.07), 2).as("fax_cost"),
+        round(lit(0.63) + pages * lit(0.15), 2).as("mail_cost"))
+        .orderBy(col("doc_id"))
+    }),
+
     // F12: MIME inference map (ingest.py:62-63)
     "f12_mime_infer" -> ((s, d) => t(s, d, "documents")
       .select(when(col("source") === "src0", "application/pdf")
@@ -275,10 +320,58 @@ object SparkEntry {
     "dd_minhash_pairs" -> ((s, d) => TrainingOps.minhashPairs(s, t(s, d, "documents"), minSim = 0.05)),
     "dd_simhash_pairs" -> ((s, d) => TrainingOps.simhashPairs(s, t(s, d, "documents"), maxHamming = 8)),
     "dd_ngram_jaccard" -> ((s, d) => TrainingOps.ngramJaccardPairs(s, t(s, d, "documents"), minJaccard = 0.02)),
+    "dd_embed_cosine" -> ((s, d) => TrainingOps.embedCosinePairs(s, t(s, d, "embeddings"), minSim = 0.4)),
 
     // ------------------------------------------- similarity search (ANN)
     "sim_cosine_topk" -> ((s, d) => TrainingOps.cosineTopK(s, t(s, d, "embeddings"))),
     "sim_ann_lsh" -> ((s, d) => TrainingOps.annLshTopK(s, t(s, d, "embeddings"))),
+    "sim_ann_ivf" -> ((s, d) => TrainingOps.annIvfTopK(s, t(s, d, "embeddings"))),
+
+    // ----------------------------------------- multimodal columns (binary)
+    "mm_meta_summary" -> ((s, d) =>
+      MediaOps.metaSummary(s, MediaOps.mediaTable(t(s, d, "documents")))),
+    "mm_frame_stats" -> ((s, d) =>
+      MediaOps.frameSample(s, MediaOps.mediaTable(t(s, d, "documents")))
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"), max(col("frame_ms")).as("last_frame_ms"))
+        .orderBy(col("media_id"))),
+    "mm_resize_plan" -> ((s, d) =>
+      MediaOps.resizePlan(s, MediaOps.mediaTable(t(s, d, "documents")))
+        .orderBy(col("media_id"))),
+    "mm_feature_ann" -> ((s, d) => TrainingOps.cosineTopK(s,
+      MediaOps.featureExtract(s, MediaOps.mediaTable(t(s, d, "documents")))
+        .withColumnRenamed("media_id", "vec_id"))),
+
+    // -------------------------- entity linking (J2/F7, extract.py:296-377)
+    "j4_entity_link" -> ((s, _) => EntityLink.linkStats(s, 300)),
+
+    // J3: verification join — kernel output vs independent golden oracle,
+    // full outer on doc_id, span-sequence equality per doc (SURVEY §2.3 J3)
+    "j5_golden_compare" -> ((s, _) => {
+      import s.implicits._
+      val kernel = s.range(0L, 300L)
+        .map(i => Extractor.extractDoc(SpanGen.genDoc(SpanGen.docId(i))))
+        .select(col("doc_id"), col("spans").as("k_spans"))
+      val golden = s.range(0L, 300L)
+        .map(i => graft.golden.GoldenExtractor.extract(SpanGen.genDoc(SpanGen.docId(i))))
+        .select(col("doc_id"), col("spans").as("g_spans"))
+      kernel.join(golden, Seq("doc_id"), "full_outer")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("k_spans").isNull || col("g_spans").isNull ||
+            col("k_spans") =!= col("g_spans"), 1L).otherwise(0L)).as("n_mismatches"))
+    }),
+
+    // ---------------------------------- chunker (F6, extract.py:215-237)
+    "f6_chunker" -> ((s, _) => {
+      import s.implicits._
+      s.range(0L, 300L).map { i =>
+        val doc = Extractor.extractDoc(SpanGen.genDoc(SpanGen.docId(i)))
+        val text = doc.spans.filter(_.kind == "text").map(_.text).mkString("\n\n")
+        val chunks = Chunker.chunk(text, maxChars = 400)
+        (doc.doc_id, chunks.length.toLong,
+          if (chunks.isEmpty) 0L else chunks.map(_.length).max.toLong)
+      }.toDF("doc_id", "n_chunks", "max_chunk_chars").orderBy(col("doc_id"))
+    }),
 
     // ------------------------------------------------- text analysis ops
     "ta_token_counts" -> ((s, d) => TrainingOps.tokenCounts(t(s, d, "documents"))),
@@ -378,6 +471,30 @@ object SparkEntry {
     "a11_distinct" ->
       """SELECT count(DISTINCT l_partkey) AS parts, count(DISTINCT l_suppkey) AS supps,
         | count(DISTINCT l_orderkey) AS orders FROM lineitem""".stripMargin,
+    "a12_cube" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS st, coalesce(o_orderpriority,'ALL') AS pr,
+        | count(*) AS n FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY st, pr""".stripMargin,
+    "f10_stagger_schedule" ->
+      """WITH base AS (
+        | SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) - 1 AS rn
+        | FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 100)),
+        |s AS (
+        | SELECT o_orderkey,
+        |  CAST(epoch(TIMESTAMP '2026-01-01 00:00:00') AS BIGINT)
+        |   + CAST(floor(rn * 259200.0 / 100) AS BIGINT)
+        |   + (o_orderkey * 2654435761) % 3601 - 1800 AS sec
+        | FROM base)
+        |SELECT o_orderkey,
+        | CAST(CASE WHEN hour(make_timestamp(sec * 1000000)) >= 2
+        |       AND hour(make_timestamp(sec * 1000000)) < 6
+        |      THEN sec + 14400 ELSE sec END AS BIGINT) AS send_at_sec
+        |FROM s ORDER BY o_orderkey""".stripMargin,
+    "f13_page_cost" ->
+      """SELECT doc_id, CAST(floor(n_chars / 3000) AS BIGINT) + 1 AS pages,
+        | CAST(round((CAST(floor(n_chars / 3000) AS BIGINT) + 1) * 0.07, 2) AS DOUBLE) AS fax_cost,
+        | CAST(round(0.63 + (CAST(floor(n_chars / 3000) AS BIGINT) + 1) * 0.15, 2) AS DOUBLE) AS mail_cost
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "w1_topk_docs" ->
       """SELECT lang, doc_id, n_chars, rank FROM (
         | SELECT lang, doc_id, n_chars,
@@ -432,6 +549,62 @@ object SparkEntry {
     "dd_exact_summary" ->
       """SELECT CAST(count(*) AS BIGINT) AS total_docs,
         | CAST(count(DISTINCT md5(text)) AS BIGINT) AS distinct_texts FROM documents""".stripMargin,
+    "dd_embed_cosine" ->
+      """SELECT vec_a, vec_b, sim FROM (
+        | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS sim
+        | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |WHERE sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+    "dd_ngram_jaccard" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |  ELSE list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                      for i in generate_series(1, len(t)-2)]) END) AS s
+        | FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        | FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        | SELECT doc_a, doc_b,
+        |  round(CAST(i AS DOUBLE) / (za.sz + zb.sz - i), 4) AS jaccard
+        | FROM inter JOIN sizes za ON doc_a = za.doc_id JOIN sizes zb ON doc_b = zb.doc_id)
+        |WHERE jaccard >= 0.02 ORDER BY doc_a, doc_b""".stripMargin,
+    "mm_meta_summary" ->
+      """WITH m AS (
+        | SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |   ELSE 'video' END AS kind,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  floor(CAST(len(regexp_extract_all(text, '[\x00-\x2f]')) AS DOUBLE)
+        |        / octet_length(encode(text)) * 10000 + 0.5) / 10000 AS dark_ratio
+        | FROM documents)
+        |SELECT kind, count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        | floor(avg(dark_ratio) * 10000 + 0.5) / 10000 AS avg_dark_ratio
+        |FROM m GROUP BY kind ORDER BY kind""".stripMargin,
+    "mm_frame_stats" ->
+      """SELECT doc_id AS media_id,
+        | CAST(floor((octet_length(encode(text)) * 40 - 1) / 1000) + 1 AS BIGINT) AS n_frames,
+        | CAST(floor((octet_length(encode(text)) * 40 - 1) / 1000) * 1000 AS BIGINT) AS last_frame_ms
+        |FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id""".stripMargin,
+    "ta_lang_id" ->
+      """WITH c AS (SELECT doc_id, lang AS actual,
+        |  len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in)\b')) AS c_en,
+        |  len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|los)\b')) AS c_es,
+        |  len(regexp_extract_all(lower(text), '\b(le|la|les|des|et|une)\b')) AS c_fr,
+        |  len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|ein)\b')) AS c_de,
+        |  len(regexp_extract_all(lower(text), '[一-鿿]')) AS c_zh
+        | FROM documents)
+        |SELECT doc_id, actual,
+        | CASE WHEN greatest(c_en, c_es, c_fr, c_de, c_zh) = 0 THEN 'und'
+        |  WHEN c_en = greatest(c_en, c_es, c_fr, c_de, c_zh) THEN 'en'
+        |  WHEN c_es = greatest(c_en, c_es, c_fr, c_de, c_zh) THEN 'es'
+        |  WHEN c_fr = greatest(c_en, c_es, c_fr, c_de, c_zh) THEN 'fr'
+        |  WHEN c_de = greatest(c_en, c_es, c_fr, c_de, c_zh) THEN 'de'
+        |  ELSE 'zh' END AS predicted
+        |FROM c ORDER BY doc_id""".stripMargin,
     "sim_cosine_topk" ->
       """SELECT query_id, neighbor_id, rank, sim FROM (
         | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

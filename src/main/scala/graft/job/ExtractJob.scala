@@ -145,15 +145,17 @@ object ExtractJob {
         .partitionBy("tag", "pid")
         .parquet(s"$outputPath/data")
 
-      // lineage read-back (tiny: ≤ P rows) → manifests + counters
-      val lineage = spark.read.parquet(s"$outputPath/data")
-        .where(col("tag") === TagLineage && col("pid").isin(wave.map(Integer.valueOf): _*))
-        .select(col("pid"), col("docs_in"), col("docs_out"), col("checksum"))
-        .as[(Int, Long, Long, String)]
+      // read-back (tiny: ≤ P lineage rows + quarantine rows) in ONE scan —
+      // tag pruning keeps it off the doc data; merging the two passes
+      // halves the per-wave partition-listing cost
+      val back = spark.read.parquet(s"$outputPath/data")
+        .where(col("tag").isin(TagLineage, TagQuarantine) &&
+          col("pid").isin(wave.map(Integer.valueOf): _*))
+        .select(col("tag"), col("pid"), col("docs_in"), col("docs_out"), col("checksum"))
+        .as[(Int, Int, Long, Long, String)]
         .collect()
-      val quarCount = spark.read.parquet(s"$outputPath/data")
-        .where(col("tag") === TagQuarantine && col("pid").isin(wave.map(Integer.valueOf): _*))
-        .count()
+      val lineage = back.collect { case (TagLineage, pid, in, outN, ck) => (pid, in, outN, ck) }
+      val quarCount = back.count(_._1 == TagQuarantine).toLong
 
       val seen = lineage.map(_._1).toSet
       lineage.foreach { case (pid, in, outN, ck) =>

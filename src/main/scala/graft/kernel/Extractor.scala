@@ -30,6 +30,32 @@ object Extractor extends Serializable {
       (Spec.canonicalExemptionCode(re), Pattern.compile(re, Pattern.CASE_INSENSITIVE))
     }
 
+  /** Conservative literal prefilters, one per entity detector (same order):
+    * a regex is run only if its trigger can possibly match — every true
+    * match necessarily contains the trigger literal(s). Purely an engine
+    * optimization (Aho-Corasick-style literal gating); output-equivalence
+    * vs the unfiltered golden oracle is proven by the parity suites. */
+  private[graft] lazy val entityTriggers: IndexedSeq[String => Boolean] = {
+    def any(lits: String*): String => Boolean = s => lits.exists(l => s.contains(l))
+    IndexedSeq(
+      any("Mr.", "Ms.", "Mrs.", "Dr."), // PERSON
+      any("Agency", "Bureau", "Department", "Commission", "Office", "Administration"), // ORGANIZATION
+      _.contains(", "), // LOCATION
+      s => { var i = 0; var d = false; while (!d && i < s.length) { d = s.charAt(i) >= '0' && s.charAt(i) <= '9'; i += 1 }; d }, // DATE
+      _.contains('$'), // MONEY
+      _.contains("DOC-"), // DOCUMENT_ID
+      _.contains('('), // PHONE
+      _.contains('@'), // EMAIL
+      _.contains("., "), // ADDRESS ("St., " etc.)
+      _.contains('-'), // CONTRACT_NUMBER
+      _.contains("-cv-"), // CASE_NUMBER
+      _.contains("FOI")) // FOIA_TRACKING
+  }
+
+  /** Exemption patterns are case-insensitive `\(b\)\(...\)`. */
+  private[graft] def exemptionTrigger(s: String): Boolean =
+    s.contains("(b)(") || s.contains("(B)(")
+
   private val anchorRe: Pattern = Pattern.compile("(?s)<a\\b[^>]*>(.*?)</a>")
 
   // ------------------------------------------------------------- primitives
@@ -51,7 +77,8 @@ object Extractor extends Serializable {
   }
 
   private[graft] def decodeEntities(s: String): String =
-    Spec.HtmlEntities.foldLeft(s) { case (acc, (ent, ch)) => acc.replace(ent, ch) }
+    if (s.indexOf('&') < 0) s // fast path: nothing decodable
+    else Spec.HtmlEntities.foldLeft(s) { case (acc, (ent, ch)) => acc.replace(ent, ch) }
 
   private[graft] def normWs(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length)
@@ -86,7 +113,7 @@ object Extractor extends Serializable {
     val lines = raw.count(_ == '\n') + 1
     val linkDensity =
       if (kind == InKind.HtmlLink) 1.0
-      else if (cleaned.isEmpty) 0.0
+      else if (cleaned.isEmpty || raw.indexOf("<a") < 0) 0.0
       else {
         val m = anchorRe.matcher(raw)
         val inners = Iterator.continually(m).takeWhile(_.find()).map(_.group(1)).toSeq
@@ -107,15 +134,20 @@ object Extractor extends Serializable {
   private[graft] def detections(cleaned: String): Seq[Span] = {
     val hits = Seq.newBuilder[(Int, Int, Int, Span)]
     var d = 0
+    var di = 0
     entityDetectors.foreach { case (kind, p) =>
-      val m = p.matcher(cleaned)
-      while (m.find()) hits += ((m.start, m.end, d, Span(OutKind.entity(kind), m.group(), "", 0)))
-      d += 1
+      if (entityTriggers(di)(cleaned)) {
+        val m = p.matcher(cleaned)
+        while (m.find()) hits += ((m.start, m.end, d, Span(OutKind.entity(kind), m.group(), "", 0)))
+      }
+      d += 1; di += 1
     }
-    exemptionDetectors.foreach { case (code, p) =>
-      val m = p.matcher(cleaned)
-      while (m.find()) hits += ((m.start, m.end, d, Span(OutKind.Redaction, code, "", 0)))
-      d += 1
+    if (exemptionTrigger(cleaned)) {
+      exemptionDetectors.foreach { case (code, p) =>
+        val m = p.matcher(cleaned)
+        while (m.find()) hits += ((m.start, m.end, d, Span(OutKind.Redaction, code, "", 0)))
+        d += 1
+      }
     }
     hits.result().sortBy { case (s, e, i, _) => (s, e, i) }.map(_._4)
   }
@@ -169,7 +201,7 @@ object Extractor extends Serializable {
           val t = cleanPlain(span.text)
           val hits = Seq.newBuilder[(Int, Int, Int, String)]
           var d = 0
-          exemptionDetectors.foreach { case (code, p) =>
+          if (exemptionTrigger(t)) exemptionDetectors.foreach { case (code, p) =>
             val m = p.matcher(t)
             while (m.find()) hits += ((m.start, m.end, d, code))
             d += 1

@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Doc
+import graft.gen.SpanGen
+import graft.kernel.Extractor
+
+/** Cross-document entity linking — the Spark re-expression of the
+  * reference's `EntityLinker._find_or_create_canonical`
+  * (/root/reference/openfoia/pipeline/extract.py:296-377), which is an
+  * O(n²) Python nested loop over canonicals. SURVEY.md §2 J2.
+  *
+  * Two tiers, exactly as the reference's match logic (extract.py:310-344):
+  *  1. exact tier: lowercase-normalized equality within entity type
+  *     → a plain equi-groupBy (shuffle on (type, norm); partial agg
+  *       map-side — linear, not quadratic);
+  *  2. containment tier: `a in b or b in a` with both lengths > 3
+  *     (extract.py:327-331) → broadcast the (small, already-deduped)
+  *     canonical set against itself; canonical = lexicographically smallest
+  *     member of the containment cluster (deterministic; the reference's
+  *     "first seen wins" is insertion-order-dependent and not reproducible
+  *     under parallelism, so we pin min() — semantics documented here).
+  *
+  * Scale: tier 1 is the only full-data shuffle. Tier 2 operates on
+  * DISTINCT canonical strings per type (orders of magnitude smaller than
+  * mentions — that's the point of tiering); it broadcasts that dedup'd set,
+  * so no quadratic pair shuffle ever touches the mention table.
+  */
+object EntityLink {
+
+  /** Mentions table from the extraction kernel over the generated corpus:
+    * (doc_id, entity_type, raw, norm). */
+  def mentions(spark: SparkSession, nDocs: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(0L, nDocs)
+      .map(i => Extractor.extractDoc(SpanGen.genDoc(SpanGen.docId(i))))
+      .select(col("doc_id"), explode(col("spans")).as("s"))
+      .where(col("s.kind").startsWith("entity:"))
+      .select(
+        col("doc_id"),
+        substring(col("s.kind"), 8, 64).as("entity_type"),
+        col("s.text").as("raw"),
+        lower(col("s.text")).as("norm"))
+  }
+
+  /** Tier-1 exact canonicals: one row per (type, norm) with mention count
+    * and alias count, argmax-by-count raw form kept as display form
+    * (reference keeps max-confidence member, extract.py:250-255; counts are
+    * our deterministic stand-in for its LLM confidences). */
+  def exactCanonicals(mentionsDf: DataFrame): DataFrame = {
+    val base = mentionsDf
+      .groupBy(col("entity_type"), col("norm"))
+      .agg(
+        count(lit(1)).as("occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+    // display form = most frequent raw variant (ties → lexicographically
+    // greatest, a total order); pre-aggregated so max_by sees a plain column
+    val display = mentionsDf
+      .groupBy(col("entity_type"), col("norm"), col("raw"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("entity_type"), col("norm"))
+      .agg(max_by(col("raw"), struct(col("c"), col("raw"))).as("display"))
+    base.join(display, Seq("entity_type", "norm"))
+  }
+
+  /** Tier-2 containment clusters over the deduped canonicals of one type:
+    * edges where a ⊂ b or b ⊂ a (len > 3 both sides, extract.py:327-331);
+    * cluster representative = min(norm) over the edge closure (1 hop —
+    * the reference also does single-pass matching, not transitive closure).
+    */
+  def containmentLinks(spark: SparkSession, canon: DataFrame): DataFrame = {
+    val slim = canon.select(col("entity_type"), col("norm")).where(length(col("norm")) > 3)
+    val joined = slim.as("a")
+      .join(broadcast(slim.as("b")),
+        col("a.entity_type") === col("b.entity_type") &&
+          col("a.norm") =!= col("b.norm") &&
+          (col("a.norm").contains(col("b.norm")) || col("b.norm").contains(col("a.norm"))))
+      .select(col("a.entity_type").as("entity_type"), col("a.norm").as("norm"),
+        least(col("a.norm"), col("b.norm")).as("cand"))
+    joined.groupBy(col("entity_type"), col("norm"))
+      .agg(min(col("cand")).as("canonical_norm"))
+  }
+
+  /** Full linking output: every canonical with its final cluster id. */
+  def linked(spark: SparkSession, nDocs: Long): DataFrame = {
+    val canon = exactCanonicals(mentions(spark, nDocs))
+    val links = containmentLinks(spark, canon)
+    canon.join(links, Seq("entity_type", "norm"), "left")
+      .select(
+        col("entity_type"),
+        col("norm"),
+        coalesce(col("canonical_norm"), col("norm")).as("canonical"),
+        col("occurrences"),
+        col("n_docs"))
+  }
+
+  /** Per-type linking stats — the stable, orderable face for the driver. */
+  def linkStats(spark: SparkSession, nDocs: Long): DataFrame =
+    linked(spark, nDocs)
+      .groupBy(col("entity_type"))
+      .agg(
+        count(lit(1)).as("n_canonicals"),
+        countDistinct(col("canonical")).as("n_clusters"),
+        sum(col("occurrences")).cast("long").as("n_mentions"))
+      .orderBy(col("entity_type"))
+}

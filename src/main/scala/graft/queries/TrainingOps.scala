@@ -259,6 +259,110 @@ object TrainingOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Embedding-cosine near-duplicate pairs, exact: all (a<b) pairs with
+    * round(cosine, 4) ≥ minSim.
+    *
+    * Shape: the corpus is broadcast once as a dense (id, vector) matrix and
+    * each task scans its rows against the broadcast tail in a primitive
+    * while-loop — the all-pairs analog of a broadcast hash join, keeping
+    * the O(n²·d) flops out of interpreted expression evaluation (the
+    * zip_with/aggregate formulation is ~50× slower at 5k vectors). This is
+    * the exact small/medium-n baseline (n·d doubles must fit an executor —
+    * same constraint as any broadcast); at corpus sizes past broadcast
+    * reach, prune candidates with annLshTopK's hyperplane buckets first and
+    * verify exactly on the survivors. */
+  def embedCosinePairs(spark: SparkSession, emb: DataFrame,
+      minSim: Double = 0.95): DataFrame = {
+    import spark.implicits._
+    val vecs: Array[(Long, Array[Double])] = emb
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .collect()
+      .map { case (id, v) => (id, v.map(_.toDouble)) }
+      .sortBy(_._1)
+    val b = spark.sparkContext.broadcast(vecs)
+
+    // round-robin repartition: the triangular scan makes low indices ~n×
+    // heavier than high ones, so contiguous range splits would skew; a
+    // round-robin spread gives every task a uniform mix of row costs
+    spark.range(0, vecs.length)
+      .repartition(spark.sparkContext.defaultParallelism.min(vecs.length).max(1))
+      .as[Long]
+      .mapPartitions { it =>
+        val m = b.value
+        def norm(v: Array[Double]): Double = {
+          var s = 0.0; var i = 0
+          while (i < v.length) { s += v(i) * v(i); i += 1 }
+          math.sqrt(s)
+        }
+        it.flatMap { ai =>
+          val a = ai.toInt
+          val (ida, va) = m(a)
+          val na = norm(va)
+          (a + 1 until m.length).iterator.flatMap { bi =>
+            val (idb, vb) = m(bi)
+            var dot = 0.0; var i = 0
+            while (i < va.length && i < vb.length) { dot += va(i) * vb(i); i += 1 }
+            val c = dot / (na * norm(vb))
+            // mirror Spark round(): shortest-decimal BigDecimal HALF_UP
+            val sim = BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (sim >= minSim) Iterator.single((ida, idb, sim)) else Iterator.empty
+          }
+        }
+      }
+      .toDF("vec_a", "vec_b", "sim")
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** IVF (inverted-file) ANN: coarse-quantize the corpus to `nCells`
+    * deterministic centroids (the vectors with vec_id ≡ 0 mod n/nCells — a
+    * seeded sample standing in for k-means, which would be iterative
+    * groupBy/avg here), build the inverted lists, probe the `nProbe`
+    * nearest cells per query. The scan is corpus_size × nProbe / nCells —
+    * the standard IVF cost model; at 100 TB the lists are the partition
+    * keys so a probe touches only its cells' partitions. */
+  def annIvfTopK(spark: SparkSession, emb: DataFrame,
+      nCells: Int = 16, nProbe: Int = 4, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val n = emb.count()
+    val step = math.max(1L, n / nCells)
+    val cents = emb.where(pmod(col("vec_id").cast("long"), lit(step)) === 0 &&
+        col("vec_id").cast("long") / lit(step) < nCells)
+      .select((col("vec_id").cast("long") / lit(step)).cast("int").as("cell"),
+        col("embedding").as("ce"))
+
+    // assign: argmin over broadcast centroids (narrow, no shuffle)
+    val assigned = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        cosine(col("embedding"), col("ce")).as("csim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+
+    // probe lists: nProbe best cells per query
+    val probes = assigned.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .join(broadcast(cents), lit(true))
+      .select(col("query_id"), col("qe"), col("cell"),
+        cosine(col("qe"), col("ce")).as("csim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cell"))))
+      .where(col("rn") <= nProbe)
+      .select(col("query_id"), col("qe"), col("cell"))
+
+    val cands = assigned.join(broadcast(probes),
+        assigned("cell") === probes("cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qe"), col("embedding")).as("sim"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    cands.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ----------------------------------------------------------- text stats
 
   private val langMarkers: Seq[(String, String)] = Seq(

@@ -1,0 +1,206 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.kernel.Chunker
+import graft.multimodal.MediaOps
+import graft.queries.{EntityLink, TrainingOps}
+
+/** Unit + small-cluster tests for the training-data / multimodal / linking
+  * operators (the non-extraction half of the surface). */
+class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def beforeAll(): Unit = spark.sparkContext.setLogLevel("ERROR")
+  override def afterAll(): Unit = spark.stop()
+
+  private def docsDf = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog", "en", "src0"),
+      (1L, "the quick brown fox jumps over the lazy cat", "en", "src1"),
+      (2L, "el gato y el perro de la casa que ladra", "es", "src0"),
+      (3L, "completely unrelated words here banana xylophone", "en", "src2"),
+      (4L, "the quick brown fox jumps over the lazy dog", "en", "src3") // exact dup of 0
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  // ------------------------------------------------------------- chunker
+  test("chunker: reference semantics (extract.py:215-237)") {
+    assert(Chunker.chunk("") == Vector.empty)
+    assert(Chunker.chunk(null) == Vector.empty)
+    assert(Chunker.chunk("abc") == Vector("abc"))
+    // greedy pack: fits within cap with separator
+    assert(Chunker.chunk("aa\n\nbb\n\ncc", 8) == Vector("aa\n\nbb", "cc"))
+    // exact boundary: len(cur)+2+len(p) == max fits
+    assert(Chunker.chunk("aaa\n\nbbb", 8) == Vector("aaa\n\nbbb"))
+    // oversize single paragraph becomes its own chunk, never split
+    assert(Chunker.chunk("x" * 50, 10) == Vector("x" * 50))
+    // whitespace-only paragraphs dropped
+    assert(Chunker.chunk("aa\n\n   \n\nbb", 100) == Vector("aa\n\nbb"))
+  }
+
+  // ------------------------------------------------------------ dedup ops
+  test("exact dedup finds the duplicate") {
+    val row = TrainingOps.dedupExactSummary(docsDf).collect().head
+    assert(row.getLong(0) == 5 && row.getLong(1) == 4)
+    val surv = TrainingOps.dedupExactSurvivors(docsDf).collect()
+    assert(surv.length == 4)
+    assert(surv.find(_.getLong(1) == 2L).map(_.getLong(0)).contains(0L)) // min doc_id kept
+  }
+
+  test("minhash LSH: exact dup has est_jaccard 1.0; near-dup found; unrelated absent") {
+    val pairs = TrainingOps.minhashPairs(spark, docsDf, minSim = 0.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val exact = pairs.find(p => p._1 == 0L && p._2 == 4L)
+    assert(exact.exists(_._3 == 1.0), s"exact dup pair missing or <1.0: $pairs")
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L), "near-dup 0-1 not found")
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L), "unrelated doc paired")
+  }
+
+  test("simhash: identical texts at hamming 0") {
+    val pairs = TrainingOps.simhashPairs(spark, docsDf, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue)).toSeq
+    assert(pairs.contains((0L, 4L, 0)))
+  }
+
+  test("ngram jaccard: dup=1.0, near-dup high, unrelated excluded") {
+    val pairs = TrainingOps.ngramJaccardPairs(spark, docsDf, minJaccard = 0.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 4L && p._3 == 1.0))
+    val nd = pairs.find(p => p._1 == 0L && p._2 == 1L)
+    assert(nd.exists(p => p._3 > 0.5 && p._3 < 1.0), s"near-dup: $nd")
+  }
+
+  // ------------------------------------------------------------ embeddings
+  private def embDf = {
+    import spark.implicits._
+    // vec 0 ≈ vec 1 (same direction), vec 2 orthogonal, vec 3 opposite
+    Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.99f, 0.1f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(-1f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("embedding cosine pairs: exact math on known vectors") {
+    val pairs = TrainingOps.embedCosinePairs(spark, embDf, minSim = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((0L, 1L)))
+    // cos = 0.99 / sqrt(0.99² + 0.1²) = 0.99493847… → 4dp 0.9949
+    assert(math.abs(pairs.head._3 - 0.9949) < 1e-9)
+  }
+
+  test("brute-force cosine top-k ranks by similarity") {
+    val top = TrainingOps.cosineTopK(spark, embDf, nQueries = 1, k = 3).collect()
+    assert(top.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L)) // by sim desc
+  }
+
+  test("IVF ANN returns ranked neighbors from probed cells") {
+    val r = TrainingOps.annIvfTopK(spark, embDf, nCells = 2, nProbe = 2, nQueries = 1, k = 3)
+      .collect()
+    assert(r.nonEmpty && r.forall(_.getLong(0) == 0L))
+    assert(r.map(_.getLong(2)).toSeq == (1L to r.length).toSeq) // dense ranks
+  }
+
+  // ------------------------------------------------------------ multimodal
+  test("media table schema + decode plumbing (binary in, typed meta out)") {
+    val media = MediaOps.mediaTable(docsDf)
+    assert(media.schema("content").dataType.typeName == "binary")
+    val meta = MediaOps.decodeMeta(spark, media).collect().sortBy(_.media_id)
+    assert(meta.length == 5)
+    assert(meta.map(_.kind).toSeq == Seq("image", "audio", "video", "image", "audio"))
+    // n_bytes == utf-8 length of the source text (content IS the text bytes)
+    assert(meta(0).n_bytes == "the quick brown fox jumps over the lazy dog".length)
+    // decode determinism: same bytes (docs 0 and 4 have identical text) but
+    // kinds differ → image fields for 0, audio duration for 4
+    assert(meta(0).width > 0 && meta(0).height > 0 && meta(0).duration_ms == 0)
+    assert(meta(1).sample_rate == 16000 && meta(1).duration_ms > 0)
+    assert(meta(2).width > 0 && meta(2).duration_ms == meta(2).n_bytes * 40)
+  }
+
+  test("dark ratio: bytes < 0x30 over total, half-up 4dp") {
+    // "ab .," → dark = {' '(0x20),'.'(0x2e),','(0x2c)} = 3 of 5
+    assert(MediaOps.FakeCodec.darkRatio("ab .,".getBytes("UTF-8")) == 0.6)
+    assert(MediaOps.FakeCodec.darkRatio(Array.empty[Byte]) == 0.0)
+  }
+
+  test("resize plan preserves aspect ratio and never upsizes") {
+    val plans = MediaOps.resizePlan(spark, MediaOps.mediaTable(docsDf), maxEdge = 100)
+      .collect()
+    plans.foreach { r =>
+      val (w, h, ow, oh) = (r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))
+      assert(ow <= 100 && oh <= 100 && ow <= w && oh <= h && ow >= 1 && oh >= 1)
+      // the max edge lands exactly on the bound (or is untouched if smaller)
+      assert(math.max(ow, oh) == math.min(100, math.max(w, h)), s"max edge: $r")
+    }
+  }
+
+  test("frame sampling: every 1000ms from 0 to duration") {
+    val frames = MediaOps.frameSample(spark, MediaOps.mediaTable(docsDf), everyMs = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(frames.nonEmpty)
+    frames.groupBy(_._1).foreach { case (_, fs) =>
+      val dur = fs.head._2
+      val times = fs.map(_._3).sorted.toSeq
+      assert(times == (0L until dur by 1000L).toSeq)
+    }
+  }
+
+  test("feature extraction emits fixed-dim vectors consumable by ANN") {
+    val feats = MediaOps.featureExtract(spark, MediaOps.mediaTable(docsDf))
+    val rows = feats.collect()
+    assert(rows.forall(_.getSeq[Float](1).length == 16))
+    // deterministic: same bytes → same features (docs 0 and 4)
+    val byId = rows.map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(byId(0L) == byId(4L))
+    val ann = TrainingOps.cosineTopK(spark,
+      feats.withColumnRenamed("media_id", "vec_id"), nQueries = 1, k = 2)
+    assert(ann.collect().head.getLong(1) == 4L) // identical bytes rank first
+  }
+
+  // ---------------------------------------------------------- entity link
+  test("entity linking: exact tier groups case variants; containment tier clusters substrings") {
+    import spark.implicits._
+    val mentions = Seq(
+      ("d1", "PERSON", "Mr. James Smith", "mr. james smith"),
+      ("d2", "PERSON", "MR. JAMES SMITH", "mr. james smith"), // exact-tier merge
+      ("d3", "ORGANIZATION", "Records Agency", "records agency"),
+      ("d4", "ORGANIZATION", "Federal Records Agency", "federal records agency"), // containment
+      ("d5", "ORGANIZATION", "Justice Bureau", "justice bureau")
+    ).toDF("doc_id", "entity_type", "raw", "norm")
+    val canon = EntityLink.exactCanonicals(mentions)
+    assert(canon.count() == 4) // two PERSON rows merged
+    val links = EntityLink.containmentLinks(spark, canon).collect()
+    // "records agency" ⊂ "federal records agency" → both link to min() = the longer...
+    // min("records agency","federal records agency") = "federal records agency"
+    assert(links.length == 2)
+    assert(links.forall(_.getString(2) == "federal records agency"))
+  }
+
+  test("entity link stats over generated corpus are deterministic and non-empty") {
+    val a = EntityLink.linkStats(spark, 50).collect().map(_.toSeq).toSeq
+    val b = EntityLink.linkStats(spark, 50).collect().map(_.toSeq).toSeq
+    assert(a == b && a.nonEmpty)
+    assert(a.forall(r => r(1).asInstanceOf[Long] >= r(2).asInstanceOf[Long])) // canonicals >= clusters
+  }
+
+  // ------------------------------------------------------------- lang id
+  test("language id picks marker-heavy language, und on no signal") {
+    val out = TrainingOps.langId(docsDf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(0L) == "en" && out(2L) == "es")
+    assert(out(3L) == "und" || out(3L) == "en") // 'here' has no markers; 'banana…' none either
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Doc
+import graft.gen.SpanGen
+import graft.kernel.Extractor
+import graft.streaming.StreamExtract
+
+/** Streaming surface tests: batch/stream kernel parity, exactly-once
+  * file-stream resume, watermarked windowed aggregation. */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def beforeAll(): Unit = spark.sparkContext.setLogLevel("ERROR")
+  override def afterAll(): Unit = spark.stop()
+
+  test("stream kernel output == batch kernel output (MemoryStream)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val docs = (0L until 40L).map(i => SpanGen.genDoc(SpanGen.docId(i)))
+
+    val mem = MemoryStream[Doc]
+    val q = StreamExtract.extract(mem.toDS())
+      .writeStream.format("memory").queryName("stream_out").outputMode("append").start()
+    mem.addData(docs.take(20): _*)
+    q.processAllAvailable()
+    mem.addData(docs.drop(20): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("stream_out").as[Doc].collect()
+      .map(d => d.doc_id -> d.spans).toMap
+    val batch = docs.map(d => { val e = Extractor.extractDoc(d); e.doc_id -> e.spans }).toMap
+    assert(streamed == batch)
+  }
+
+  test("file-stream extraction is exactly-once across restart (checkpointed)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("streamspec").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ck = s"$base/ck"
+
+    spark.range(0L, 30L).map(i => SpanGen.genDoc(SpanGen.docId(i)))
+      .write.mode("append").parquet(in)
+    StreamExtract.run(spark, in, out, ck).awaitTermination()
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 == 30L)
+
+    // second wave of files, same checkpoint → only the delta is processed
+    spark.range(30L, 50L).map(i => SpanGen.genDoc(SpanGen.docId(i)))
+      .write.mode("append").parquet(in)
+    StreamExtract.run(spark, in, out, ck).awaitTermination()
+
+    val all = spark.read.parquet(out).as[Doc].collect()
+    assert(all.length == 50L, "each doc exactly once across restarts")
+    assert(all.map(_.doc_id).distinct.length == 50)
+    // parity with batch kernel
+    val got = all.map(d => d.doc_id -> d.spans).toMap
+    (0L until 50L).foreach { i =>
+      val e = Extractor.extractDoc(SpanGen.genDoc(SpanGen.docId(i)))
+      assert(got(e.doc_id) == e.spans, s"doc ${e.doc_id}")
+    }
+  }
+
+  test("watermarked windowed span rates drop late data, emit closed windows") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val rates = StreamExtract.spanRates(
+      mem.toDF().toDF("event_time", "kind"), watermark = "10 seconds", window_ = "1 minute")
+    val q = rates.writeStream.format("memory").queryName("rates").outputMode("append").start()
+
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // window [0,60): 3 text + 1 media
+    mem.addData((ts(5), "text"), (ts(20), "text"), (ts(30), "media"), (ts(50), "text"))
+    q.processAllAvailable()
+    // advance event time far past watermark so the first window closes
+    mem.addData((ts(200), "text"))
+    q.processAllAvailable()
+    // this late row is > 10s behind the watermark (190s) → dropped
+    mem.addData((ts(40), "text"))
+    q.processAllAvailable()
+    // close everything out
+    mem.addData((ts(400), "media"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("rates").collect()
+      .map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1), r.getLong(2))).toSet
+    assert(rows.contains((0L, "text", 3L)), s"rows=$rows")   // late (40,"text") NOT counted
+    assert(rows.contains((0L, "media", 1L)))
+    assert(rows.contains((180L, "text", 1L)))
+  }
+}

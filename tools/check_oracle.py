@@ -27,6 +27,8 @@ def norm(v):
 
 for qdir in sorted(glob.glob(f"{out_dir}/*/")):
     name = qdir.rstrip("/").split("/")[-1]
+    if name.endswith(".parquet"):
+        name = name[: -len(".parquet")]
     try:
         got = con.execute(f"SELECT * FROM '{qdir}/*.parquet'").fetchall()
         got_cols = [d[0] for d in con.description]
