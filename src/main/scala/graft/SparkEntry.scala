@@ -315,6 +315,27 @@ object SparkEntry {
       .agg(round(avg(get_json_object(col("props"), "$.k").cast("long")), 4).as("avg_k"))
       .orderBy(col("event_type"))),
 
+    // ------------------------------------------------ SQL surface (spark.sql)
+    // the same engine through spark.sql over registered views
+    "sql_top_suppliers" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+      t(s, d, "supplier").createOrReplaceTempView("supplier_v")
+      s.sql("""SELECT s_suppkey, s_name,
+              | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              |FROM lineitem_v JOIN supplier_v ON l_suppkey = s_suppkey
+              |GROUP BY s_suppkey, s_name
+              |ORDER BY revenue DESC, s_suppkey LIMIT 10""".stripMargin)
+    }),
+
+    // native Catalyst expression (codegen'd) through the SQL surface —
+    // SURVEY §2.9 extension ladder; equivalence proven in FunctionsSpec
+    "cf_native_fnv" -> ((s, d) => {
+      graft.functions.Fnv1a64Expr.register(s)
+      t(s, d, "documents").createOrReplaceTempView("documents_v")
+      s.sql("""SELECT pmod(fnv1a64(text), 16) AS bucket, count(*) AS n
+              |FROM documents_v GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
     // ------------------------------------- training-data ops: dedup family
     "dd_exact_summary" -> ((s, d) => TrainingOps.dedupExactSummary(t(s, d, "documents"))),
     "dd_minhash_pairs" -> ((s, d) => TrainingOps.minhashPairs(s, t(s, d, "documents"), minSim = 0.05)),
@@ -531,6 +552,10 @@ object SparkEntry {
         |(SELECT c_custkey AS id FROM customer UNION SELECT o_custkey FROM orders)""".stripMargin,
     "f2_normalize_distinct" ->
       "SELECT DISTINCT lower(trim(c_mktsegment)) AS seg FROM customer ORDER BY seg",
+    "sql_top_suppliers" ->
+      """SELECT s_suppkey, s_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_suppkey, s_name ORDER BY revenue DESC, s_suppkey LIMIT 10""".stripMargin,
     "f8_regex_extract_groups" ->
       """SELECT regexp_extract(props, '"k": (\d+)', 1) AS k_str, count(*) AS n
         |FROM events GROUP BY k_str ORDER BY k_str""".stripMargin,

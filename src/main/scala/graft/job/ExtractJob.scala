@@ -3,7 +3,7 @@ package graft.job
 import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.{Checksums, Doc, LineageRow, Spec}
+import graft.core.{Checksums, Doc, LineageRow, Spec, TableIO}
 import graft.kernel.Extractor
 
 /** The end-to-end extraction job (SURVEY.md §4.3 physical plan):
@@ -90,7 +90,7 @@ object ExtractJob {
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    val input = spark.read.parquet(inputPath)
+    val input = TableIO.read(spark, inputPath)
       .select(col("doc_id"), col("spans"))
       .withColumn("pid", pidCol(p))
 
@@ -140,15 +140,13 @@ object ExtractJob {
           }
         }
 
-      out.write
-        .mode(SaveMode.Overwrite)
-        .partitionBy("tag", "pid")
-        .parquet(s"$outputPath/data")
+      TableIO.write(out.toDF(), s"$outputPath/data", SaveMode.Overwrite.name(),
+        partitionBy = Seq("tag", "pid"))
 
       // read-back (tiny: ≤ P lineage rows + quarantine rows) in ONE scan —
       // tag pruning keeps it off the doc data; merging the two passes
       // halves the per-wave partition-listing cost
-      val back = spark.read.parquet(s"$outputPath/data")
+      val back = TableIO.read(spark, s"$outputPath/data")
         .where(col("tag").isin(TagLineage, TagQuarantine) &&
           col("pid").isin(wave.map(Integer.valueOf): _*))
         .select(col("tag"), col("pid"), col("docs_in"), col("docs_out"), col("checksum"))
@@ -177,7 +175,7 @@ object ExtractJob {
     * pruning — free). */
   def readSpans(spark: SparkSession, outputPath: String): Dataset[Doc] = {
     import spark.implicits._
-    spark.read.parquet(s"$outputPath/data")
+    TableIO.read(spark, s"$outputPath/data")
       .where(col("tag") === TagDoc)
       .select(col("doc_id"), col("spans"))
       .as[Doc]
@@ -185,7 +183,7 @@ object ExtractJob {
 
   def readLineage(spark: SparkSession, outputPath: String): Dataset[LineageRow] = {
     import spark.implicits._
-    spark.read.parquet(s"$outputPath/data")
+    TableIO.read(spark, s"$outputPath/data")
       .where(col("tag") === TagLineage)
       .select(lit("").as("run_id"), col("pid").cast("int").as("partition_id"),
         col("docs_in"), col("docs_out"), col("checksum"))
@@ -193,7 +191,7 @@ object ExtractJob {
   }
 
   def readQuarantine(spark: SparkSession, outputPath: String) =
-    spark.read.parquet(s"$outputPath/data")
+    TableIO.read(spark, s"$outputPath/data")
       .where(col("tag") === TagQuarantine)
       .select(col("doc_id"), col("error"))
 }
