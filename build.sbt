@@ -26,6 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  "-Dspark.sql.warehouse.dir=/tmp/graft-warehouse",
+  "-Dderby.stream.error.file=/tmp/graft-derby.log",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // cap GC worker threads: on a 32-core box the default (~23) competes
   // with 32 executor threads and adds heavy run-to-run variance at high

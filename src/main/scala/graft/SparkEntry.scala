@@ -179,6 +179,28 @@ object SparkEntry {
         countDistinct(col("l_suppkey")).as("supps"),
         countDistinct(col("l_orderkey")).as("orders"))),
 
+    // custom typed Aggregator via udaf (§2.9): product(), absent from Spark
+    "a13_product_agg" -> ((s, d) => {
+      val product = udaf(graft.functions.ProductAgg)
+      t(s, d, "lineitem").where(col("l_orderkey") <= 100)
+        .groupBy(col("l_returnflag"))
+        .agg(round(product(lit(1.0) + col("l_discount")), 6).as("disc_product"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // salt-then-merge two-phase aggregation (§4.2 skew pattern, verifiable:
+    // result is identical to the plain groupBy the oracle runs)
+    "a14_salted_groupby" -> ((s, d) => {
+      val salted = t(s, d, "lineitem")
+        .withColumn("salt", pmod(hash(col("l_orderkey")), lit(16)))
+        .groupBy(col("l_returnflag"), col("salt"))
+        .agg(count(lit(1)).as("c"), sum(col("l_quantity")).as("q"))
+      salted.groupBy(col("l_returnflag"))
+        .agg(sum(col("c")).as("n"), round(sum(col("q")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // cube (§2.4 built-in coverage)
     "a12_cube" -> ((s, d) => t(s, d, "orders")
       .cube(col("o_orderstatus"), col("o_orderpriority"))
@@ -366,6 +388,10 @@ object SparkEntry {
     // -------------------------- entity linking (J2/F7, extract.py:296-377)
     "j4_entity_link" -> ((s, _) => EntityLink.linkStats(s, 300)),
 
+    // relationship analog: entity co-occurrence graph (extract.py:99-103,
+    // entity_links models.py:114-122) — same-doc canonical pairs
+    "j6_cooccurrence" -> ((s, _) => EntityLink.cooccurrence(s, 300, minDocs = 2).limit(100)),
+
     // J3: verification join — kernel output vs independent golden oracle,
     // full outer on doc_id, span-sequence equality per doc (SURVEY §2.3 J3)
     "j5_golden_compare" -> ((s, _) => {
@@ -492,6 +518,13 @@ object SparkEntry {
     "a11_distinct" ->
       """SELECT count(DISTINCT l_partkey) AS parts, count(DISTINCT l_suppkey) AS supps,
         | count(DISTINCT l_orderkey) AS orders FROM lineitem""".stripMargin,
+    "a13_product_agg" ->
+      """SELECT l_returnflag, round(product(1.0 + l_discount), 6) AS disc_product,
+        | count(*) AS n FROM lineitem WHERE l_orderkey <= 100
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a14_salted_groupby" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "a12_cube" ->
       """SELECT coalesce(o_orderstatus,'ALL') AS st, coalesce(o_orderpriority,'ALL') AS pr,
         | count(*) AS n FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)

@@ -41,7 +41,7 @@ object Extractor extends Serializable {
       any("Mr.", "Ms.", "Mrs.", "Dr."), // PERSON
       any("Agency", "Bureau", "Department", "Commission", "Office", "Administration"), // ORGANIZATION
       _.contains(", "), // LOCATION
-      s => { var i = 0; var d = false; while (!d && i < s.length) { d = s.charAt(i) >= '0' && s.charAt(i) <= '9'; i += 1 }; d }, // DATE
+      s => s.contains('-') || s.contains(", "), // DATE: "Month d, yyyy" has ", "; ISO has '-'
       _.contains('$'), // MONEY
       _.contains("DOC-"), // DOCUMENT_ID
       _.contains('('), // PHONE

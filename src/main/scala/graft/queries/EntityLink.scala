@@ -96,6 +96,26 @@ object EntityLink {
         col("n_docs"))
   }
 
+  /** Entity co-occurrence edges — the deterministic analog of the
+    * reference's LLM relationship extraction (extract.py:99-103 →
+    * entity_links table, models.py:114-122): two canonical mentions
+    * related iff they appear in the same document; weight = #docs.
+    * Self-join on doc_id over the (small) distinct (doc, type, norm)
+    * projection — never over raw mention volume. */
+  def cooccurrence(spark: SparkSession, nDocs: Long, minDocs: Long = 3): DataFrame = {
+    val m = mentions(spark, nDocs)
+      .select(col("doc_id"), col("entity_type"), col("norm")).distinct()
+    m.as("a").join(m.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          (col("a.entity_type") < col("b.entity_type") ||
+            (col("a.entity_type") === col("b.entity_type") && col("a.norm") < col("b.norm"))))
+      .groupBy(col("a.entity_type").as("type_a"), col("a.norm").as("norm_a"),
+        col("b.entity_type").as("type_b"), col("b.norm").as("norm_b"))
+      .agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("type_a"), col("norm_a"), col("type_b"), col("norm_b"))
+  }
+
   /** Per-type linking stats — the stable, orderable face for the driver. */
   def linkStats(spark: SparkSession, nDocs: Long): DataFrame =
     linked(spark, nDocs)

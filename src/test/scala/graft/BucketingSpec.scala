@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Co-located join via bucketing (SURVEY.md §4.2 / PLANS.md scale
+  * checklist): two tables bucketed+sorted on the join key join with NO
+  * shuffle exchange — the mechanism a 100 TB deployment uses to make
+  * repeated fact-fact joins cheap. */
+class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def beforeAll(): Unit = spark.sparkContext.setLogLevel("ERROR")
+  override def afterAll(): Unit = spark.stop()
+
+  test("bucketed tables join without a shuffle exchange") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS bkt_a")
+    spark.sql("DROP TABLE IF EXISTS bkt_b")
+    spark.range(0, 1000).withColumn("va", col("id") * 2)
+      .write.mode("overwrite").bucketBy(8, "id").sortBy("id").saveAsTable("bkt_a")
+    spark.range(0, 1000).withColumn("vb", col("id") + 7)
+      .write.mode("overwrite").bucketBy(8, "id").sortBy("id").saveAsTable("bkt_b")
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("bkt_a").join(spark.table("bkt_b"), "id")
+      assert(j.count() == 1000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"), s"bucketing failed to co-locate:\n$plan")
+
+      // control: the same join over non-bucketed data DOES shuffle
+      val p2 = spark.range(0, 1000).toDF("id")
+        .join(spark.range(0, 1000).toDF("id"), "id")
+      p2.count()
+      assert(p2.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+}

@@ -102,6 +102,22 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(la == lb)
   }
 
+  test("torn write: missing manifest forces exactly that pid to reprocess") {
+    val out = s"$base/outTorn"
+    ExtractJob.run(spark, s"$base/in", out, "rT", P)
+    val before = ExtractJob.readSpans(spark, out).collect().map(d => d.doc_id -> d.spans).toMap
+    // simulate a crash after data commit but before manifest write
+    java.nio.file.Files.delete(Checkpoint.manifestPath(out, 5))
+    assert(Checkpoint.completedPids(out) == (0 until P).toSet - 5)
+
+    val resumed = ExtractJob.run(spark, s"$base/in", out, "rT2", P, resume = true)
+    assert(resumed.processedPids == Seq(5))
+    assert(resumed.skippedPids.toSet == (0 until P).toSet - 5)
+    assert(Checkpoint.completedPids(out) == (0 until P).toSet)
+    val after = ExtractJob.readSpans(spark, out).collect().map(d => d.doc_id -> d.spans).toMap
+    assert(after == before) // dynamic pid overwrite replaced, not duplicated
+  }
+
   test("quarantine: a poison doc never fails the stage") {
     import spark.implicits._
     // text crafted to blow up nothing in the kernel — so instead poison via
