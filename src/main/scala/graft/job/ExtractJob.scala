@@ -46,7 +46,8 @@ object ExtractJob {
       docs_in: Long,
       docs_out: Long,
       checksum: String,
-      error: String)
+      error: String,
+      run_id: String)
 
   final case class Report(
       runId: String,
@@ -123,15 +124,15 @@ object ExtractJob {
               val dg = Checksums.docDigest(res) // may throw → quarantine, not docs_out
               a.out += 1
               a.xor ^= dg
-              Iterator.single(OutRow(TagDoc, pid, res.doc_id, res.spans, 0, 0, "", ""))
+              Iterator.single(OutRow(TagDoc, pid, res.doc_id, res.spans, 0, 0, "", "", ""))
             } catch {
               case e: Exception =>
                 Iterator.single(OutRow(TagQuarantine, pid, id, Seq.empty, 0, 0, "",
-                  s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"))
+                  s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}", runId))
             }
           }
           val trailer = () => accs.iterator.map { case (pid, a) =>
-            OutRow(TagLineage, pid, "", Seq.empty, a.in, a.out, Checksums.render(a.xor), "")
+            OutRow(TagLineage, pid, "", Seq.empty, a.in, a.out, Checksums.render(a.xor), "", runId)
           }
           rows ++ new Iterator[OutRow] {
             private var inner: Iterator[OutRow] = null
@@ -185,7 +186,7 @@ object ExtractJob {
     import spark.implicits._
     TableIO.read(spark, s"$outputPath/data")
       .where(col("tag") === TagLineage)
-      .select(lit("").as("run_id"), col("pid").cast("int").as("partition_id"),
+      .select(col("run_id"), col("pid").cast("int").as("partition_id"),
         col("docs_in"), col("docs_out"), col("checksum"))
       .as[LineageRow]
   }
