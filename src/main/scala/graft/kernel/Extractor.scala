@@ -96,7 +96,36 @@ object Extractor extends Serializable {
     sb.toString
   }
 
-  private[graft] def cleanHtml(s: String): String = normWs(decodeEntities(stripTags(s)))
+  /** Fused stripTags+normWs single pass; the (rare) entity-decode branch
+    * re-normalizes because decoded `&nbsp;` can introduce new whitespace.
+    * Output-equivalent to `normWs(decodeEntities(stripTags(s)))` — entities
+    * contain no whitespace, so collapsing runs first cannot create or
+    * destroy a decodable entity (KernelProps parity covers this on
+    * arbitrary strings). */
+  private[graft] def cleanHtml(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var inTag = false
+    var pendingSpace = false
+    var hasAmp = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inTag) { if (c == '>') inTag = false }
+      else if (c == '<') inTag = true
+      else if (Character.isWhitespace(c)) { if (sb.length() > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        if (c == '&') hasAmp = true
+        sb.append(c)
+      }
+      i += 1
+    }
+    val t = sb.toString
+    if (hasAmp) normWs(decodeEntities(t)) else t
+  }
+
+  /** Reference formulation, kept for the unit tests' primitive checks. */
+  private[graft] def cleanHtmlSlow(s: String): String = normWs(decodeEntities(stripTags(s)))
   private[graft] def cleanPlain(s: String): String = normWs(s)
 
   private def wordCount(cleaned: String): Int =

@@ -90,7 +90,9 @@ object ScaleProbe {
     fullJob(spark, "deep1"); fullJob(spark, "deep2")
     spark.stop()
 
-    val levels = sys.env.getOrElse("PROBE_LEVELS", "4,8,16,32").split(",").map(_.trim.toInt).toSeq
+    val levels = sys.env.getOrElse("PROBE_LEVELS", "4,8,16,32")
+      .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
+    if (levels.isEmpty) return
     val reps = sys.env.getOrElse("PROBE_REPS", "3").toInt
     def sync(): Unit = { // flush dirty pages so writeback stalls don't land randomly
       new ProcessBuilder("sync").inheritIO().start().waitFor()

@@ -79,6 +79,11 @@ object KernelProps extends Properties("kernel") {
       Extractor.extractDoc(d).spans.filter(_.kind == "media").map(_.media_ref) == expected
     }
 
+  property("fused cleanHtml == reference formulation on arbitrary strings") =
+    forAll(Gen.oneOf(interesting, Gen.asciiPrintableStr, Arbitrary.arbitrary[String])) { s =>
+      Extractor.cleanHtml(s) == Extractor.cleanHtmlSlow(s)
+    }
+
   // ---------------------------------------------------------------- chunker
 
   private val para: Gen[String] = Gen.frequency(
