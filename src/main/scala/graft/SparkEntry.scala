@@ -201,6 +201,16 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // grouping sets via the SQL surface (§2.4 built-in coverage)
+    "a15_grouping_sets" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT coalesce(o_orderstatus, 'ALL') AS st,
+              | coalesce(o_orderpriority, 'ALL') AS pr, count(*) AS n
+              |FROM orders_gs
+              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+              |ORDER BY st, pr""".stripMargin)
+    }),
+
     // cube (§2.4 built-in coverage)
     "a12_cube" -> ((s, d) => t(s, d, "orders")
       .cube(col("o_orderstatus"), col("o_orderpriority"))
@@ -518,6 +528,12 @@ object SparkEntry {
     "a11_distinct" ->
       """SELECT count(DISTINCT l_partkey) AS parts, count(DISTINCT l_suppkey) AS supps,
         | count(DISTINCT l_orderkey) AS orders FROM lineitem""".stripMargin,
+    "a15_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+        | coalesce(o_orderpriority, 'ALL') AS pr, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY st, pr""".stripMargin,
     "a13_product_agg" ->
       """SELECT l_returnflag, round(product(1.0 + l_discount), 6) AS disc_product,
         | count(*) AS n FROM lineitem WHERE l_orderkey <= 100

@@ -44,6 +44,17 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.exists(_.isNullAt(0))) // null in → null out
   }
 
+  test("GraftExtensions injects fnv1a64 into a SparkSessionExtensions instance") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext)
+    // registerFunctions is private[sql]; invoke it the way session build does
+    val registry = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone()
+    val m = ext.getClass.getMethod("registerFunctions",
+      classOf[org.apache.spark.sql.catalyst.analysis.FunctionRegistry])
+    m.invoke(ext, registry)
+    assert(registry.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("fnv1a64")))
+  }
+
   test("stateful streaming dedup: first-seen wins across micro-batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
