@@ -58,7 +58,8 @@ object ScaleProbe {
 
     // ---- raw JVM scaling (includes generation cost, same per doc)
     rawKernel(8, 500) // warm JIT
-    val rawLevels = sys.env.getOrElse("PROBE_RAW", "8,32").split(",").map(_.trim.toInt).toSeq
+    val rawLevels = sys.env.getOrElse("PROBE_RAW", "8,32")
+      .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
     val rawDocs = sys.env.getOrElse("PROBE_RAW_DOCS", "20000").toInt
     val raws = rawLevels.map { th =>
       val ts = (1 to 3).map(_ => rawKernel(th, rawDocs / th)).sorted
