@@ -102,6 +102,24 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(la == lb)
   }
 
+  test("salted repartition balances docs across pids on the Zipf corpus") {
+    val counts = ExtractJob.readLineage(spark, s"$base/out").collect().map(_.docs_in)
+    assert(counts.length == P)
+    val avg = counts.sum.toDouble / counts.length
+    assert(counts.max < 3 * avg, s"skewed distribution: max=${counts.max} avg=$avg")
+    assert(counts.min > 0, "some pid starved")
+  }
+
+  test("more partitions than docs: empty pids still complete with manifests") {
+    import spark.implicits._
+    val in = s"$base/in_tiny"
+    spark.range(0, 10).map(i => graft.gen.SpanGen.genDoc(graft.gen.SpanGen.docId(i)))
+      .write.mode("overwrite").parquet(in)
+    val rep = ExtractJob.run(spark, in, s"$base/out_tiny", "rt", numPartitions = 64)
+    assert(rep.docsIn == 10 && rep.docsOut == 10)
+    assert(Checkpoint.completedPids(s"$base/out_tiny") == (0 until 64).toSet)
+  }
+
   test("torn write: missing manifest forces exactly that pid to reprocess") {
     val out = s"$base/outTorn"
     ExtractJob.run(spark, s"$base/in", out, "rT", P)
