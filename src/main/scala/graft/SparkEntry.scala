@@ -436,6 +436,19 @@ object SparkEntry {
     "ta_lang_id" -> ((s, d) => TrainingOps.langId(t(s, d, "documents"))),
     "ta_fingerprints" -> ((s, d) => TrainingOps.fingerprints(s, t(s, d, "documents"))),
 
+    // ------------------------- curation funnel (extract → filter → dedup)
+    "cu_curation_funnel" -> ((s, _) => {
+      import s.implicits._
+      val spans = s.range(0L, 300L)
+        .map(i => Extractor.extractDoc(SpanGen.genDoc(SpanGen.docId(i)))).toDF()
+      val texts = graft.job.CurationJob.docText(spans)
+      val gated = graft.job.CurationJob.qualityGate(texts)
+      val curated = graft.job.CurationJob.dedup(gated)
+      texts.agg(count(lit(1)).as("docs_in")).crossJoin(
+        gated.agg(count(lit(1)).as("quality_pass"))).crossJoin(
+        curated.agg(count(lit(1)).as("curated"), sum(col("copies")).cast("long").as("copies_sum")))
+    }),
+
     // ------------------------------------- extraction pipeline (north rule)
     // non-SQL-expressible: verified by golden-equality specs instead
     "ex_kind_histogram" -> ((s, _) => entry(s)),
