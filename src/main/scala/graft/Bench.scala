@@ -62,7 +62,9 @@ object Bench {
     val cpus4N = sys.env.getOrElse("SPARK_GRAFT_CPUS", (cpusN * 4).toString).toInt
     val cpusMax = sys.env.getOrElse("SPARK_GRAFT_CPUS_MAX",
       Runtime.getRuntime.availableProcessors().toString).toInt
-    val nDocs = sys.env.getOrElse("SPARK_GRAFT_EXTRACT_DOCS", "200000").toLong
+    // 120k keeps the whole bench under ~7 min; the BASELINE.md reference
+    // numbers used SPARK_GRAFT_EXTRACT_DOCS=200000 (same methodology)
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_EXTRACT_DOCS", "120000").toLong
     val parts = sys.env.getOrElse("SPARK_GRAFT_EXTRACT_PARTS", "128").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
 
