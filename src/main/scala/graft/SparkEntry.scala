@@ -374,6 +374,7 @@ object SparkEntry {
     "dd_simhash_pairs" -> ((s, d) => TrainingOps.simhashPairs(s, t(s, d, "documents"), maxHamming = 8)),
     "dd_ngram_jaccard" -> ((s, d) => TrainingOps.ngramJaccardPairs(s, t(s, d, "documents"), minJaccard = 0.02)),
     "dd_embed_cosine" -> ((s, d) => TrainingOps.embedCosinePairs(s, t(s, d, "embeddings"), minSim = 0.4)),
+    "dd_embed_lsh" -> ((s, d) => TrainingOps.embedCosinePairsLsh(s, t(s, d, "embeddings"), minSim = 0.4)),
 
     // ------------------------------------------- similarity search (ANN)
     "sim_cosine_topk" -> ((s, d) => TrainingOps.cosineTopK(s, t(s, d, "embeddings"))),

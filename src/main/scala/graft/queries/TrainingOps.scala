@@ -211,19 +211,18 @@ object TrainingOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Scale path: random-hyperplane LSH bucketing. Hyperplane weights are a
-    * pure function of (plane, dim) — no RNG at job time. Probes the query's
-    * bucket plus all hamming-1 neighbor buckets. */
-  def annLshTopK(spark: SparkSession, emb: DataFrame,
-      nPlanes: Int = 12, nQueries: Int = 8, k: Int = 5): DataFrame = {
+  /** Deterministic random-hyperplane bucket signature per vector (shared by
+    * the ANN and near-dup scale paths). Weights are a pure function of
+    * (plane, dim) — no RNG at job time. */
+  private[queries] def hyperplaneBuckets(spark: SparkSession, emb: DataFrame,
+      nPlanes: Int): DataFrame = {
     import spark.implicits._
     val planes: Array[Array[Double]] = Array.tabulate(nPlanes, 64) { (p, d) =>
       // deterministic pseudo-gaussian-ish weight in [-1, 1)
       MurmurHash3.stringHash(s"$p:$d", 7919).toDouble / Int.MaxValue
     }
     val bPlanes = spark.sparkContext.broadcast(planes)
-
-    val sigged = emb.select(col("vec_id").cast("long"), col("embedding"))
+    emb.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
       .map { case (id, e) =>
         val ps = bPlanes.value
@@ -237,6 +236,30 @@ object TrainingOps {
         }
         (id, bucket)
       }.toDF("vec_id", "bucket")
+  }
+
+  /** Embedding near-dup at scale: LSH buckets generate candidates (same
+    * bucket ⇒ similar direction), exact cosine verifies survivors — the
+    * candidate join replaces embedCosinePairs' O(n²) scan once the corpus
+    * outgrows broadcast reach. Approximate: recall depends on nPlanes
+    * (fewer planes = bigger buckets = higher recall, more candidates). */
+  def embedCosinePairsLsh(spark: SparkSession, emb: DataFrame,
+      minSim: Double = 0.95, nPlanes: Int = 8): DataFrame = {
+    val sigged = hyperplaneBuckets(spark, emb, nPlanes)
+    val e = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .join(sigged, "vec_id")
+    val cands = e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(cosine(col("a.embedding"), col("b.embedding")), 4).as("sim"))
+    cands.where(col("sim") >= minSim).orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Scale path ANN: random-hyperplane LSH bucketing; probes the query's
+    * bucket plus all hamming-1 neighbor buckets. */
+  def annLshTopK(spark: SparkSession, emb: DataFrame,
+      nPlanes: Int = 12, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val sigged = hyperplaneBuckets(spark, emb, nPlanes)
 
     val embB = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
       .join(sigged, "vec_id")

@@ -102,6 +102,15 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(pairs.head._3 - 0.9949) < 1e-9)
   }
 
+  test("LSH-pruned cosine pairs are a subset of exact pairs; co-directional pair recalled") {
+    val exact = TrainingOps.embedCosinePairs(spark, embDf, minSim = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TrainingOps.embedCosinePairsLsh(spark, embDf, minSim = 0.9, nPlanes = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh.contains((0L, 1L)), "near-identical directions must share every bucket")
+  }
+
   test("brute-force cosine top-k ranks by similarity") {
     val top = TrainingOps.cosineTopK(spark, embDf, nQueries = 1, k = 3).collect()
     assert(top.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L)) // by sim desc
