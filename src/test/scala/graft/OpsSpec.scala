@@ -205,6 +205,19 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.forall(r => r(1).asInstanceOf[Long] >= r(2).asInstanceOf[Long])) // canonicals >= clusters
   }
 
+  // ----------------------------------------------------- driver contract
+  test("entry() returns non-empty kind histogram (driver smoke contract)") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getString(0)).contains("text"))
+  }
+
+  test("j5_golden_compare reports zero mismatches across 300 docs") {
+    val r = SparkEntry.queries("j5_golden_compare")(spark, "").collect().head
+    assert(r.getLong(0) == 300L, "full outer join covers every doc")
+    assert(r.getLong(1) == 0L, "kernel == golden through the Spark surface")
+  }
+
   // ------------------------------------------------------------- lang id
   test("language id picks marker-heavy language, und on no signal") {
     val out = TrainingOps.langId(docsDf).collect()
