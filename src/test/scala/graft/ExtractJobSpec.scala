@@ -102,6 +102,16 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(la == lb)
   }
 
+  test("tag filter on job output is partition pruning, not a data scan") {
+    val plan = ExtractJob.readLineage(spark, s"$base/out")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("tag"),
+      s"tag pruning missing from:\n$plan")
+    // no post-scan Filter on tag: the predicate never reaches row level
+    assert(!plan.split("\n").exists(l => l.trim.startsWith("+- Filter") && l.contains("tag#")),
+      s"tag filtered at row level:\n$plan")
+  }
+
   test("salted repartition balances docs across pids on the Zipf corpus") {
     val counts = ExtractJob.readLineage(spark, s"$base/out").collect().map(_.docs_in)
     assert(counts.length == P)
