@@ -59,9 +59,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpusN = sys.env.getOrElse("SPARK_GRAFT_CPUS_N", "2").toInt
-    val cpus4N = sys.env.getOrElse("SPARK_GRAFT_CPUS", (cpusN * 4).toString).toInt
-    val cpusMax = sys.env.getOrElse("SPARK_GRAFT_CPUS_MAX",
-      Runtime.getRuntime.availableProcessors().toString).toInt
+    // 4N is ALWAYS derived from N (dedicated override only): round 1 reused
+    // the driver-controlled SPARK_GRAFT_CPUS (=32) here, so the emitted
+    // scaling_efficiency divided by a 16× core ratio (0.421) instead of the
+    // criterion pair 2→8 (measured 0.95–1.08, BASELINE.md) — ADVICE.md #2.
+    val cpus4N = sys.env.getOrElse("SPARK_GRAFT_CPUS_4N", (cpusN * 4).toString).toInt
+    // all-cores level for the query surface + docs_per_sec_max figure
+    val cpusMax = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS_MAX",
+        Runtime.getRuntime.availableProcessors().toString)).toInt
     // 120k keeps the whole bench under ~7 min; the BASELINE.md reference
     // numbers used SPARK_GRAFT_EXTRACT_DOCS=200000 (same methodology)
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_EXTRACT_DOCS", "120000").toLong
@@ -85,7 +91,13 @@ object Bench {
       } catch { case _: Throwable => -1.0 }
       name -> sec
     }
+    // 2 decimals: the one stdout JSON line must fit the driver's finite
+    // tail-capture window (round 1's 2.5 kB line was truncated mid-JSON and
+    // parsed as null — ADVICE.md #3); full 3-decimal detail goes to the
+    // BENCH_DETAILS.json side file.
     val queriesJson = results
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+    val queriesJsonFull = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val totalSec = results.collect { case (_, v) if v >= 0 => v }.sum
 
@@ -128,14 +140,28 @@ object Bench {
         .replaceAll("[\"\\\\\n\r\t]", " ") + "\"}"
     }
 
+    def field(name: String): String = extractJson match {
+      case s if s.contains("\"" + name + "\":") =>
+        s.split("\"" + name + "\":")(1).split("[,}]")(0)
+      case _ => "-1"
+    }
+
+    // Full detail (extract section + 3-decimal query timings) → side file +
+    // stderr; stdout carries exactly ONE compact JSON line, printed last.
+    val detail = s"""{"extract":$extractJson,"queries":$queriesJsonFull,""" +
+      f""""queries_total_sec":$totalSec%.3f,"sf":"$sfDir"}"""
+    try Files.writeString(java.nio.file.Paths.get("BENCH_DETAILS.json"), detail + "\n")
+    catch { case _: Throwable => () }
+    System.err.println(detail)
+
     println(
-      s"""{"metric":"documents/sec end-to-end extraction throughput (4N cores)","value":${
-        extractJson match {
-          case s if s.contains("docs_per_sec_4n") =>
-            s.split("\"docs_per_sec_4n\":")(1).split(",")(0)
-          case _ => "-1"
-        }
-      },"unit":"docs/sec","queries":$queriesJson,"queries_total_sec":${f"$totalSec%.3f"},"extract":$extractJson,"sf":"$sfDir"}""")
+      s"""{"metric":"docs_per_sec_4n","value":${field("docs_per_sec_4n")},"unit":"docs/sec",""" +
+      s""""scaling_efficiency":${field("scaling_efficiency")},""" +
+      s""""cores_n":${field("cores_n")},"cores_4n":${field("cores_4n")},""" +
+      s""""docs_per_sec_n":${field("docs_per_sec_n")},""" +
+      s""""docs_per_sec_max":${field("docs_per_sec_max")},"cores_max":${field("cores_max")},""" +
+      s""""docs":${field("docs")},""" +
+      f""""queries_total_sec":$totalSec%.2f,"queries":$queriesJson,"sf":"$sfDir"}""")
     if (!spark.sparkContext.isStopped) spark.stop()
   }
 }

@@ -136,6 +136,9 @@ object MediaOps {
       .filter(_.kind == "video")
       .map(m => (m.media_id, m.duration_ms))
       .toDF("media_id", "duration_ms")
+      // zero-byte payload ⇒ duration_ms = 0 ⇒ sequence(0, -1) would throw
+      // "illegal sequence boundaries" at runtime; empty media has no frames
+      .where(col("duration_ms") > 0)
       .select(col("media_id"), col("duration_ms"),
         explode(sequence(lit(0L), (col("duration_ms") - 1).cast("long"), lit(everyMs)))
           .as("frame_ms"))

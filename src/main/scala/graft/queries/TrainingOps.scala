@@ -439,11 +439,16 @@ object TrainingOps {
       .orderBy(col("doc_id"))
 
   /** Document fingerprinting: winnowing-style — rolling 8-gram char hashes,
-    * keep the s smallest (a robust containment/near-dup sketch). */
+    * keep the s smallest (a robust containment/near-dup sketch).
+    *
+    * Output is EXPLODED to scalar rows (doc_id, idx, fp): an array-typed
+    * result column crashed the driver's pandas-based checker in round 1
+    * (unhashable numpy.ndarray), and scalar rows are also the joinable shape
+    * a containment query actually consumes. */
   def fingerprints(spark: SparkSession, docs: DataFrame, gram: Int = 8, keep: Int = 16): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
+      .flatMap { case (id, text) =>
         val t = text
         val hs =
           if (t.length < gram) Array(fnv1a64(t))
@@ -453,8 +458,9 @@ object TrainingOps {
             while (i + gram <= t.length) { arr(i) = fnv1a64(t.substring(i, i + gram)); i += 1 }
             arr
           }
-        (id, hs.distinct.sorted.take(keep))
-      }.toDF("doc_id", "fingerprint")
-      .orderBy(col("doc_id"))
+        hs.distinct.sorted.take(keep).iterator.zipWithIndex
+          .map { case (fp, idx) => (id, idx.toLong, fp) }
+      }.toDF("doc_id", "idx", "fp")
+      .orderBy(col("doc_id"), col("idx"))
   }
 }

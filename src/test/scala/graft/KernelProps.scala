@@ -94,11 +94,11 @@ object KernelProps extends Properties("kernel") {
     max <- Gen.choose(1, 60)
   } yield (ps.mkString("\n\n"), max)
 
-  property("chunker: concatenation preserves every paragraph in order") =
+  property("chunker: joining all chunks reconstructs the text exactly") =
     forAll(chunkInput) { case (text, max) =>
-      val paras = text.split("\n\n", -1).map(_.trim).filter(_.nonEmpty).toSeq
-      val out = Chunker.chunk(text, max)
-      out.flatMap(_.split("\n\n", -1).toSeq) == paras
+      // reference semantics (extract.py:215-237): nothing trimmed, nothing
+      // dropped — chunking is a pure partition of the paragraph sequence
+      Chunker.chunk(text, max).mkString("\n\n") == text
     }
 
   property("chunker: every chunk fits the cap or is a single oversize paragraph") =

@@ -37,17 +37,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ------------------------------------------------------------- chunker
   test("chunker: reference semantics (extract.py:215-237)") {
-    assert(Chunker.chunk("") == Vector.empty)
     assert(Chunker.chunk(null) == Vector.empty)
+    // short-circuit: text within the cap is ONE chunk, verbatim (py:217-218)
+    assert(Chunker.chunk("") == Vector(""))
     assert(Chunker.chunk("abc") == Vector("abc"))
-    // greedy pack: fits within cap with separator
-    assert(Chunker.chunk("aa\n\nbb\n\ncc", 8) == Vector("aa\n\nbb", "cc"))
-    // exact boundary: len(cur)+2+len(p) == max fits
     assert(Chunker.chunk("aaa\n\nbbb", 8) == Vector("aaa\n\nbbb"))
+    // greedy pack with +2 accounting on EVERY paragraph incl. the first:
+    // paras aa/bb/cc cost 4 each; aa(4)+bb(4)=8 not >8, +cc would be 12 >8
+    assert(Chunker.chunk("aa\n\nbb\n\ncc", 8) == Vector("aa\n\nbb", "cc"))
+    // first-paragraph accounting: len 3 and 4 paras with max=9 SPLIT in the
+    // reference (5+6 > 9), they do not pack (the round-1 normalized packer
+    // merged them — ADVICE.md low #1)
+    assert(Chunker.chunk("aaa\n\nbbbb\n\nx", 9) == Vector("aaa", "bbbb\n\nx"))
     // oversize single paragraph becomes its own chunk, never split
     assert(Chunker.chunk("x" * 50, 10) == Vector("x" * 50))
-    // whitespace-only paragraphs dropped
-    assert(Chunker.chunk("aa\n\n   \n\nbb", 100) == Vector("aa\n\nbb"))
+    // empty/whitespace paragraphs are kept, untrimmed (py keeps them)
+    assert(Chunker.chunk("aa\n\n   \n\nbb\n\n" + "y" * 12, 12) ==
+      Vector("aa\n\n   ", "bb", "y" * 12))
   }
 
   // ------------------------------------------------------------ dedup ops
