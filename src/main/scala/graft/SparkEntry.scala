@@ -438,16 +438,13 @@ object SparkEntry {
     "ta_fingerprints" -> ((s, d) => TrainingOps.fingerprints(s, t(s, d, "documents"))),
 
     // ------------------------- curation funnel (extract → filter → dedup)
+    // all stage counts in ONE conditional-aggregation scan of the extraction
+    // (the round-1 crossJoin-of-counts shape recomputed the pipeline 3×)
     "cu_curation_funnel" -> ((s, _) => {
       import s.implicits._
       val spans = s.range(0L, 300L)
         .map(i => Extractor.extractDoc(SpanGen.genDoc(SpanGen.docId(i)))).toDF()
-      val texts = graft.job.CurationJob.docText(spans)
-      val gated = graft.job.CurationJob.qualityGate(texts)
-      val curated = graft.job.CurationJob.dedup(gated)
-      texts.agg(count(lit(1)).as("docs_in")).crossJoin(
-        gated.agg(count(lit(1)).as("quality_pass"))).crossJoin(
-        curated.agg(count(lit(1)).as("curated"), sum(col("copies")).cast("long").as("copies_sum")))
+      graft.job.CurationJob.funnelCounts(graft.job.CurationJob.docText(spans))
     }),
 
     // ------------------------------------- extraction pipeline (north rule)

@@ -38,15 +38,31 @@ object CurationJob {
         filter(col("spans"), s => s.getField("kind") === "text"),
         s => s.getField("text")), " ").as("text"))
 
-  def qualityGate(docs: DataFrame): DataFrame = {
+  /** The quality predicate as a Column — shared by the gate filter and the
+    * single-pass funnel aggregation so both can never drift apart. */
+  def qualityCond: org.apache.spark.sql.Column = {
     val words = size(regexp_extract_all(col("text"), lit("""\S+"""), lit(0))).cast("double")
     val stops = size(regexp_extract_all(lower(col("text")),
       lit("""\b(the|and|of|to|a|in|is)\b"""), lit(0))).cast("double")
     val nChars = length(col("text")).cast("double")
-    docs.where(words >= MinWords &&
+    words >= MinWords &&
       (stops / words) <= MaxStopwordRatio &&
-      ((nChars - (words - lit(1))) / words) >= MinAvgWordLen)
+      ((nChars - (words - lit(1))) / words) >= MinAvgWordLen
   }
+
+  def qualityGate(docs: DataFrame): DataFrame = docs.where(qualityCond)
+
+  /** Funnel counts in ONE scan: conditional aggregation instead of one
+    * recompute of the upstream pipeline per stage (round 1 ran the
+    * extraction three times for three counts — at 100 TB that is three full
+    * passes). curated = distinct content hashes among quality survivors;
+    * copies_sum = survivors (every survivor is some hash's copy). */
+  def funnelCounts(texts: DataFrame): DataFrame =
+    texts.agg(
+      count(lit(1)).as("docs_in"),
+      sum(when(qualityCond, 1L).otherwise(0L)).as("quality_pass"),
+      countDistinct(when(qualityCond, md5(col("text")))).as("curated"),
+      sum(when(qualityCond, 1L).otherwise(0L)).as("copies_sum"))
 
   /** Exact dedup: keep the lexicographically smallest doc_id per content
     * hash (deterministic survivor). */
@@ -57,18 +73,24 @@ object CurationJob {
         count(lit(1)).as("copies"))
       .select(col("doc_id"), col("text"), col("copies"))
 
-  /** Full funnel over an extraction output (ExtractJob.run result dir). */
+  /** Full funnel over an extraction output (ExtractJob.run result dir).
+    * Stage counts come from ONE conditional-aggregation read of the
+    * extraction table (round 1 re-read it once per stage) plus a count of
+    * the just-written curated output (reading the small result, not
+    * recomputing the pipeline). */
   def run(spark: SparkSession, extractedPath: String, outputPath: String): Funnel = {
     val spans = ExtractJob.readSpans(spark, extractedPath).toDF()
     val texts = docText(spans)
-    val gated = qualityGate(texts)
-    val curated = dedup(gated)
+    val curated = dedup(qualityGate(texts))
     TableIO.write(curated, s"$outputPath/curated")
-    val written = TableIO.read(spark, s"$outputPath/curated")
+    val counts = texts.agg(
+      count(lit(1)),
+      sum(when(length(col("text")) > 0, 1L).otherwise(0L)),
+      sum(when(qualityCond, 1L).otherwise(0L))).head()
     Funnel(
-      docsIn = spans.count(),
-      extracted = texts.where(length(col("text")) > 0).count(),
-      qualityPass = gated.count(),
-      curated = written.count())
+      docsIn = counts.getLong(0),
+      extracted = counts.getLong(1),
+      qualityPass = counts.getLong(2),
+      curated = TableIO.read(spark, s"$outputPath/curated").count())
   }
 }

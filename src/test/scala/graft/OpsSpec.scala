@@ -88,6 +88,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nd.exists(p => p._3 > 0.5 && p._3 < 1.0), s"near-dup: $nd")
   }
 
+  test("ngram jaccard df-cap: default is a no-op; low cap defuses a boilerplate shingle") {
+    import spark.implicits._
+    // default cap (10000) can never trigger below 10k docs ⇒ identical output
+    val capped = TrainingOps.ngramJaccardPairs(spark, docsDf, minJaccard = 0.05)
+      .collect().map(_.toSeq).toSeq
+    val uncapped = TrainingOps.ngramJaccardPairs(spark, docsDf, minJaccard = 0.05, maxDf = 0)
+      .collect().map(_.toSeq).toSeq
+    assert(capped == uncapped)
+    // adversarial: 40 otherwise-unique docs sharing one boilerplate trigram
+    // → uncapped forms the full 40·39/2 quadratic bucket; df-cap kills it
+    val boiler = (0 until 40).map(i =>
+      (i.toLong, s"unique$i token$i word$i this footer repeats", "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val hot = TrainingOps.ngramJaccardPairs(spark, boiler, minJaccard = 0.0, maxDf = 0)
+    assert(hot.count() == 40L * 39 / 2, "uncapped boilerplate goes quadratic")
+    val cold = TrainingOps.ngramJaccardPairs(spark, boiler, minJaccard = 0.0, maxDf = 10)
+    assert(cold.count() == 0, "df-capped index drops the hot shingle before the self-join")
+  }
+
   // ------------------------------------------------------------ embeddings
   private def embDf = {
     import spark.implicits._
@@ -106,6 +125,19 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.map(p => (p._1, p._2)) == Seq((0L, 1L)))
     // cos = 0.99 / sqrt(0.99² + 0.1²) = 0.99493847… → 4dp 0.9949
     assert(math.abs(pairs.head._3 - 0.9949) < 1e-9)
+  }
+
+  test("blocked all-pairs is block-count invariant (routing covers every pair exactly once)") {
+    import spark.implicits._
+    // 30 deterministic vectors spread over many directions
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.7 + d * 1.3).toFloat))
+    }.toDF("vec_id", "embedding")
+    def pairs(b: Int) = TrainingOps.embedCosinePairs(spark, vecs, minSim = 0.5, nBlocks = b)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val one = pairs(1) // single diagonal group = plain triangular scan
+    assert(one.nonEmpty)
+    assert(pairs(4) == one && pairs(7) == one)
   }
 
   test("LSH-pruned cosine pairs are a subset of exact pairs; co-directional pair recalled") {
