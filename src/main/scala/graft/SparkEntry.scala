@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 import graft.gen.SpanGen
 import graft.kernel.{Chunker, Extractor}
 import graft.multimodal.MediaOps
-import graft.queries.{EntityLink, TrainingOps}
+import graft.queries.{EntityLink, OcrOps, TrainingOps}
+import graft.sources.MailIngest
 
 /** Driver contract: one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data ops), with a DuckDB oracle wherever the
@@ -70,6 +71,15 @@ object SparkEntry {
       .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
         col("length"))
       .orderBy(col("file"))),
+
+    // S3: email-attachment ingest (ingest.py:151-186) — render each doc as
+    // a multipart message, walk MIME parts, skip containers/no-disposition,
+    // decode payloads; oracle checks the per-message arithmetic face
+    "s3_mail_attachments" -> ((s, d) => MailIngest.perMessage(s, t(s, d, "documents"))),
+
+    // per-page OCR confidence structure + ConfidenceLevel bucketing
+    // (ocr.py:84-109, models.py:95-99)
+    "ocr_page_confidence" -> ((s, d) => OcrOps.docConfidence(t(s, d, "documents"))),
 
     // --------------------------------------- filters / projections (§2.2)
     // P1/O1: ilike OR search, ordered + limited (cli.py:788-797)
@@ -399,6 +409,10 @@ object SparkEntry {
     // -------------------------- entity linking (J2/F7, extract.py:296-377)
     "j4_entity_link" -> ((s, _) => EntityLink.linkStats(s, 300)),
 
+    // alias sets + confidence bucketing per canonical (extract.py:363-377
+    // export carries aliases; models.py:95-99 ConfidenceLevel) — scalar face
+    "j7_entity_aliases" -> ((s, _) => EntityLink.aliasStats(s, 300)),
+
     // relationship analog: entity co-occurrence graph (extract.py:99-103,
     // entity_links models.py:114-122) — same-doc canonical pairs
     "j6_cooccurrence" -> ((s, _) => EntityLink.cooccurrence(s, 300, minDocs = 2).limit(100)),
@@ -482,6 +496,30 @@ object SparkEntry {
     "s1_ingest_checksum" ->
       """SELECT doc_id, sha256(text) AS checksum, n_chars FROM documents
         |WHERE n_chars <= 300 ORDER BY doc_id""".stripMargin,
+    "s3_mail_attachments" ->
+      """SELECT CAST(doc_id AS BIGINT) AS msg_id,
+        | CAST(doc_id % 3 + 1 AS BIGINT) AS n_attachments,
+        | CAST(list_sum([octet_length(encode(substr(text, i*11+1, 50)))
+        |   for i in generate_series(0, CAST(doc_id % 3 AS INT))]) AS BIGINT) AS att_bytes
+        |FROM documents ORDER BY msg_id""".stripMargin,
+    "ocr_page_confidence" ->
+      """WITH p AS (
+        | SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  unnest([substr(text, (i-1)*300+1, 300)
+        |    for i in generate_series(1, CAST(ceil(length(text)/300.0) AS BIGINT))]) AS pt
+        | FROM documents WHERE length(text) > 0),
+        |d AS (
+        | SELECT doc_id, count(*) AS page_count,
+        |  floor(avg(CAST(len(regexp_extract_all(pt, '[a-z ]')) AS DOUBLE)
+        |        / length(pt)) * 10000 + 0.5) / 10000 AS avg_confidence,
+        |  CAST(sum(len(regexp_extract_all(pt, '\S+'))) AS BIGINT) AS total_words
+        | FROM p GROUP BY doc_id)
+        |SELECT doc_id, page_count, avg_confidence, total_words,
+        | CASE WHEN avg_confidence >= 0.9 THEN 'confirmed'
+        |      WHEN avg_confidence >= 0.7 THEN 'probable'
+        |      WHEN avg_confidence >= 0.4 THEN 'possible'
+        |      ELSE 'unresolved' END AS confidence_level
+        |FROM d ORDER BY doc_id""".stripMargin,
     "p1_ilike_search" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE lower(text) LIKE '%scan%' OR lower(source) LIKE '%rc1%'

@@ -48,13 +48,16 @@ object EntityLink {
   /** Tier-1 exact canonicals: one row per (type, norm) with mention count
     * and alias count, argmax-by-count raw form kept as display form
     * (reference keeps max-confidence member, extract.py:250-255; counts are
-    * our deterministic stand-in for its LLM confidences). */
+    * our deterministic stand-in for its LLM confidences). `n_aliases` counts
+    * the distinct raw surface forms — the cardinality of the reference's
+    * per-canonical alias set (extract.py:363-377 exports `aliases`). */
   def exactCanonicals(mentionsDf: DataFrame): DataFrame = {
     val base = mentionsDf
       .groupBy(col("entity_type"), col("norm"))
       .agg(
         count(lit(1)).as("occurrences"),
-        countDistinct(col("doc_id")).as("n_docs"))
+        countDistinct(col("doc_id")).as("n_docs"),
+        countDistinct(col("raw")).as("n_aliases"))
     // display form = most frequent raw variant (ties → lexicographically
     // greatest, a total order); pre-aggregated so max_by sees a plain column
     val display = mentionsDf
@@ -83,18 +86,48 @@ object EntityLink {
       .agg(min(col("cand")).as("canonical_norm"))
   }
 
-  /** Full linking output: every canonical with its final cluster id. */
+  /** Full linking output: every canonical with its final cluster id, alias
+    * count, and a ConfidenceLevel bucket (models.py:95-99 enum). The numeric
+    * confidence is a deterministic stand-in for the reference's LLM
+    * per-entity score (extract.py:323 keeps the max over merged members):
+    * corroboration across documents ⇒ 0.5 + 0.1·n_docs, capped at 1.0.
+    * Bucketing: ≥0.9 confirmed, ≥0.7 probable, ≥0.4 possible, else
+    * unresolved (cut points documented — the reference enum pins no
+    * numbers). */
   def linked(spark: SparkSession, nDocs: Long): DataFrame = {
     val canon = exactCanonicals(mentions(spark, nDocs))
     val links = containmentLinks(spark, canon)
+    val confidence = least(lit(1.0), lit(0.5) + col("n_docs") * 0.1)
     canon.join(links, Seq("entity_type", "norm"), "left")
       .select(
         col("entity_type"),
         col("norm"),
         coalesce(col("canonical_norm"), col("norm")).as("canonical"),
         col("occurrences"),
-        col("n_docs"))
+        col("n_docs"),
+        col("n_aliases"),
+        OcrOps.confidenceLevel(confidence).as("confidence_level"))
   }
+
+  /** Alias sets per canonical — the reference's export shape
+    * (extract.py:363-377: every canonical carries `aliases`, the list of
+    * raw surface forms merged into it). Kept as an API (array column) for
+    * library users; driver-facing queries expose the scalar aggregate face
+    * instead (array result columns crash the harness's comparer). */
+  def aliasSets(spark: SparkSession, nDocs: Long): DataFrame =
+    mentions(spark, nDocs)
+      .groupBy(col("entity_type"), col("norm"))
+      .agg(sort_array(collect_set(col("raw"))).as("aliases"))
+
+  /** Scalar face: canonicals and alias volume per (type, confidence level). */
+  def aliasStats(spark: SparkSession, nDocs: Long): DataFrame =
+    linked(spark, nDocs)
+      .groupBy(col("entity_type"), col("confidence_level"))
+      .agg(
+        count(lit(1)).as("n_canonicals"),
+        sum(col("n_aliases")).cast("long").as("total_aliases"),
+        max(col("n_aliases")).cast("long").as("max_aliases"))
+      .orderBy(col("entity_type"), col("confidence_level"))
 
   /** Entity co-occurrence edges — the deterministic analog of the
     * reference's LLM relationship extraction (extract.py:99-103 →

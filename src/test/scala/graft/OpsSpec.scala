@@ -217,6 +217,45 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ann.collect().head.getLong(1) == 4L) // identical bytes rank first
   }
 
+  // ------------------------------------------------------- mail ingest (S3)
+  test("mail ingest: MIME walk skips body + containers, decodes attachment payloads") {
+    import graft.sources.MailIngest
+    val text = "a" * 60
+    val atts = MailIngest.walkParts(5L, MailIngest.buildMessage(5L, text))
+    assert(atts.length == 3) // 5 % 3 + 1
+    assert(atts.map(_.att_index) == Seq(0, 1, 2))
+    // payload i = chars [i*11, i*11+50) clipped to len 60
+    assert(atts.map(_.n_bytes) == Seq(50L, 49L, 38L))
+    // mime cycles by (msgId + i) % 3: 5→txt, 6→pdf, 7→png
+    assert(atts.map(_.mime) == Seq("text/plain", "application/pdf", "image/png"))
+    assert(atts.map(_.filename) == Seq("att_0.txt", "att_1.pdf", "att_2.png"))
+    // the text/plain BODY part (no Content-Disposition) must not appear
+    assert(atts.forall(_.n_bytes <= 50))
+    // distributed face over the docs fixture
+    val per = MailIngest.perMessage(spark, docsDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(per == Map(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 1L, 4L -> 2L))
+  }
+
+  // ------------------------------------------------------- ocr pages
+  test("ocr pages: fixed-width pagination, confidence ratio, level bucketing") {
+    import spark.implicits._
+    import graft.queries.OcrOps
+    val docs = Seq(
+      (0L, "ab" * 325, "en", "src0"), // 650 chars → pages 300/300/50
+      (1L, "zz!!", "en", "src0"), // conf = 2/4 = 0.5 → possible
+      (2L, "", "en", "src0") // empty → no pages, no doc row
+    ).toDF("doc_id", "text", "lang", "source")
+    val p = OcrOps.pages(docs).collect()
+    assert(p.count(_.getLong(0) == 0L) == 3)
+    assert(p.filter(_.getLong(0) == 0L).map(_.getString(2).length).sorted.toSeq == Seq(50, 300, 300))
+    val d = OcrOps.docConfidence(docs).collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getString(4))).toMap
+    assert(!d.contains(2L))
+    assert(d(0L) == ((3L, 1.0, "confirmed"))) // all lowercase letters
+    assert(d(1L) == ((1L, 0.5, "possible")))
+  }
+
   // ---------------------------------------------------------- entity link
   test("entity linking: exact tier groups case variants; containment tier clusters substrings") {
     import spark.implicits._
@@ -241,6 +280,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val b = EntityLink.linkStats(spark, 50).collect().map(_.toSeq).toSeq
     assert(a == b && a.nonEmpty)
     assert(a.forall(r => r(1).asInstanceOf[Long] >= r(2).asInstanceOf[Long])) // canonicals >= clusters
+  }
+
+  test("alias sets + confidence bucketing per canonical (extract.py:363-377, models.py:95-99)") {
+    import spark.implicits._
+    val mentions = Seq(
+      ("d1", "PERSON", "Mr. James Smith", "mr. james smith"),
+      ("d2", "PERSON", "MR. JAMES SMITH", "mr. james smith"),
+      ("d2", "PERSON", "mr. james smith", "mr. james smith"),
+      ("d3", "ORGANIZATION", "Records Agency", "records agency")
+    ).toDF("doc_id", "entity_type", "raw", "norm")
+    val canon = EntityLink.exactCanonicals(mentions).collect()
+      .map(r => r.getString(1) -> r.getAs[Long]("n_aliases")).toMap
+    assert(canon("mr. james smith") == 3) // three distinct raw surface forms
+    assert(canon("records agency") == 1)
+    // confidence stand-in 0.5 + 0.1·n_docs: 2 docs → 0.7 probable; link
+    // output carries the bucket + alias counts over the generated corpus
+    val linked = EntityLink.linked(spark, 50)
+    val levels = linked.select(col("confidence_level")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(levels.subsetOf(Set("confirmed", "probable", "possible", "unresolved")))
+    val stats = EntityLink.aliasStats(spark, 50).collect()
+    assert(stats.nonEmpty)
+    assert(stats.forall(r => r.getAs[Long]("total_aliases") >= r.getAs[Long]("n_canonicals")))
+    // the array-typed export face stays available to library users
+    val aliases = EntityLink.aliasSets(spark, 50)
+    assert(aliases.schema("aliases").dataType.typeName == "array")
   }
 
   // ----------------------------------------------------- driver contract

@@ -29,8 +29,11 @@ class SinksSpec extends AnyFunSuite with BeforeAndAfterAll {
     linked.write.mode("overwrite").json(s"$base/graph")
     val back = spark.read.json(s"$base/graph")
     assert(back.count() == linked.count())
+    // export shape mirrors extract.py:363-377: canonical entities carry
+    // alias volume + confidence alongside the cluster id
     assert(back.columns.sorted.toSeq ==
-      Seq("canonical", "entity_type", "n_docs", "norm", "occurrences"))
+      Seq("canonical", "confidence_level", "entity_type", "n_aliases",
+        "n_docs", "norm", "occurrences"))
   }
 
   test("S9: text sink writes extracted text lines (cli.py:700-702 analog)") {
