@@ -176,22 +176,36 @@ object TrainingOps {
       .flatMap { case (id, text) => shingles(text, n).iterator.map(s => (id, fnv1a64(s))) }
       .toDF("doc_id", "sh")
 
-    // shingles() emits a set, so count(*) per shingle IS its document
-    // frequency; one hash-agg + a broadcast anti-join against the (tiny)
-    // hot-shingle list keeps the cap linear
-    val sh =
-      if (maxDf <= 0) shAll
-      else shAll.join(
-        broadcast(shAll.groupBy(col("sh")).agg(count("*").as("df"))
-          .where(col("df") > maxDf).select(col("sh"))),
-        Seq("sh"), "left_anti")
-
-    val sizes = sh.groupBy(col("doc_id")).agg(count("*").as("sz"))
-
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count("*").as("inter"))
+    // With a cap, build posting lists per shingle (collect_list is bounded
+    // by maxDf entries per group) and explode ordered pairs from each list:
+    // one shuffle on the shingle key, the cap applied as a free size()
+    // filter, and the pair fan-out bounded at maxDf² per shingle. Without a
+    // cap, fall back to the streaming self-join (posting lists would be
+    // unbounded per-group memory); shingles() emits a set, so each
+    // (sh, doc) occurs once and duplicate-pair counts ARE |A∩B|.
+    val (sizes, inter) =
+      if (maxDf > 0) {
+        val kept = shAll.groupBy(col("sh"))
+          .agg(collect_list(col("doc_id")).as("docs"))
+          .where(size(col("docs")) <= maxDf)
+        val sz = kept.select(explode(col("docs")).as("doc_id"))
+          .groupBy(col("doc_id")).agg(count("*").as("sz"))
+        val in = kept.select(col("docs")).as[Array[Long]]
+          .flatMap { docs =>
+            val d = docs.sorted
+            d.indices.iterator.flatMap(i =>
+              (i + 1 until d.length).iterator.map(j => (d(i), d(j))))
+          }.toDF("doc_a", "doc_b")
+          .groupBy(col("doc_a"), col("doc_b")).agg(count("*").as("inter"))
+        (sz, in)
+      } else {
+        val sz = shAll.groupBy(col("doc_id")).agg(count("*").as("sz"))
+        val in = shAll.as("a").join(shAll.as("b"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count("*").as("inter"))
+        (sz, in)
+      }
 
     inter
       .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
