@@ -72,17 +72,39 @@ object EntityLink {
     * edges where a ⊂ b or b ⊂ a (len > 3 both sides, extract.py:327-331);
     * cluster representative = min(norm) over the edge closure (1 hop —
     * the reference also does single-pass matching, not transitive closure).
-    */
+    *
+    * Plan: 4-gram blocking instead of the all-pairs NLJ. If `short` is a
+    * substring of `long`, then short's first 4 characters occur in long as
+    * a 4-gram (both are > 3 chars here), so an equi-join of each
+    * canonical's 4-char PREFIX against an inverted index of every
+    * canonical's distinct 4-grams generates a candidate superset with NO
+    * false negatives; contains() verifies exactly. The gram index is linear
+    * in total canonical text, so the tier stays an equi-shuffle at any
+    * canonical count — the round-1 broadcast NLJ was quadratic per type
+    * (VERDICT.md plan audit, j4_entity_link). */
   def containmentLinks(spark: SparkSession, canon: DataFrame): DataFrame = {
+    import spark.implicits._
     val slim = canon.select(col("entity_type"), col("norm")).where(length(col("norm")) > 3)
-    val joined = slim.as("a")
-      .join(broadcast(slim.as("b")),
-        col("a.entity_type") === col("b.entity_type") &&
-          col("a.norm") =!= col("b.norm") &&
-          (col("a.norm").contains(col("b.norm")) || col("b.norm").contains(col("a.norm"))))
-      .select(col("a.entity_type").as("entity_type"), col("a.norm").as("norm"),
-        least(col("a.norm"), col("b.norm")).as("cand"))
-    joined.groupBy(col("entity_type"), col("norm"))
+    val grams = slim.as[(String, String)]
+      .flatMap { case (t, n) =>
+        val gs = scala.collection.mutable.LinkedHashSet.empty[String]
+        var i = 0
+        while (i + 4 <= n.length) { gs += n.substring(i, i + 4); i += 1 }
+        gs.iterator.map(g => (t, g, n))
+      }.toDF("entity_type", "gram", "long")
+    val probes = slim.select(col("entity_type"),
+      substring(col("norm"), 1, 4).as("gram"), col("norm").as("short"))
+    val contained = probes.join(grams, Seq("entity_type", "gram"))
+      .where(col("short") =!= col("long") && col("long").contains(col("short")))
+      .select(col("entity_type"), col("short"), col("long")).distinct()
+    // the NLJ emitted both orientations of every containment pair; replay
+    // that from the directed (short ⊂ long) edges
+    val edges = contained
+      .select(col("entity_type"), col("short").as("norm"),
+        least(col("short"), col("long")).as("cand"))
+      .union(contained.select(col("entity_type"), col("long").as("norm"),
+        least(col("short"), col("long")).as("cand")))
+    edges.groupBy(col("entity_type"), col("norm"))
       .agg(min(col("cand")).as("canonical_norm"))
   }
 

@@ -275,6 +275,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(links.forall(_.getString(2) == "federal records agency"))
   }
 
+  test("4-gram-blocked containment tier equals the all-pairs NLJ formulation") {
+    val canon = EntityLink.exactCanonicals(EntityLink.mentions(spark, 120))
+    // reference formulation: quadratic nested-loop join (test-only oracle)
+    val slim = canon.select(col("entity_type"), col("norm")).where(length(col("norm")) > 3)
+    val nlj = slim.as("a")
+      .join(slim.as("b"),
+        col("a.entity_type") === col("b.entity_type") &&
+          col("a.norm") =!= col("b.norm") &&
+          (col("a.norm").contains(col("b.norm")) || col("b.norm").contains(col("a.norm"))))
+      .groupBy(col("a.entity_type").as("entity_type"), col("a.norm").as("norm"))
+      .agg(min(least(col("a.norm"), col("b.norm"))).as("canonical_norm"))
+      .collect().map(_.toSeq).toSet
+    val blocked = EntityLink.containmentLinks(spark, canon)
+      .collect().map(_.toSeq).toSet
+    assert(blocked == nlj)
+    assert(blocked.nonEmpty, "fixture must actually exercise the tier")
+  }
+
   test("entity link stats over generated corpus are deterministic and non-empty") {
     val a = EntityLink.linkStats(spark, 50).collect().map(_.toSeq).toSeq
     val b = EntityLink.linkStats(spark, 50).collect().map(_.toSeq).toSeq
