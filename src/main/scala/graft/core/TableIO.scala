@@ -27,6 +27,22 @@ object TableIO {
     if (pathBased) r.load(table) else r.table(table)
   }
 
+  /** Read only the given partition SUBTREES of a partitioned table,
+    * keeping partition-column discovery via `basePath`. File listing then
+    * touches only those subtrees — for a (tag, pid)-partitioned extraction
+    * output, reading tag=1 skips the (much larger) tag=0 doc-data listing
+    * entirely. Subtrees that don't exist yet (e.g. an empty quarantine) are
+    * silently skipped; returns None if none exist. Path-based formats only
+    * (catalog tables prune partitions from predicates instead). */
+  def readSubtrees(spark: SparkSession, table: String,
+      subtrees: Seq[String]): Option[DataFrame] = {
+    require(pathBased, "readSubtrees is a path-layout optimization")
+    val present = subtrees.map(s => s"$table/$s")
+      .filter(p => new java.io.File(p).exists())
+    if (present.isEmpty) None
+    else Some(spark.read.format(format).option("basePath", table).load(present: _*))
+  }
+
   def write(df: DataFrame, table: String, mode: String = "overwrite",
       partitionBy: Seq[String] = Nil): Unit = {
     val w: DataFrameWriter[org.apache.spark.sql.Row] =

@@ -144,15 +144,17 @@ object ExtractJob {
       TableIO.write(out.toDF(), s"$outputPath/data", SaveMode.Overwrite.name(),
         partitionBy = Seq("tag", "pid"))
 
-      // read-back (tiny: ≤ P lineage rows + quarantine rows) in ONE scan —
-      // tag pruning keeps it off the doc data; merging the two passes
-      // halves the per-wave partition-listing cost
-      val back = TableIO.read(spark, s"$outputPath/data")
-        .where(col("tag").isin(TagLineage, TagQuarantine) &&
-          col("pid").isin(wave.map(Integer.valueOf): _*))
-        .select(col("tag"), col("pid"), col("docs_in"), col("docs_out"), col("checksum"))
-        .as[(Int, Int, Long, Long, String)]
-        .collect()
+      // read-back (tiny: ≤ P lineage rows + quarantine rows) in ONE scan.
+      // List ONLY the tag=1/tag=2 subtrees: discovering the whole table
+      // would list the 0..P doc-data dirs too — pure driver-side serial
+      // cost repeated every wave (the Amdahl tail PhaseProbe measured).
+      val back = TableIO.readSubtrees(spark, s"$outputPath/data",
+          Seq(s"tag=$TagLineage", s"tag=$TagQuarantine"))
+        .map(_.where(col("pid").isin(wave.map(Integer.valueOf): _*))
+          .select(col("tag"), col("pid"), col("docs_in"), col("docs_out"), col("checksum"))
+          .as[(Int, Int, Long, Long, String)]
+          .collect())
+        .getOrElse(Array.empty)
       val lineage = back.collect { case (TagLineage, pid, in, outN, ck) => (pid, in, outN, ck) }
       val quarCount = back.count(_._1 == TagQuarantine).toLong
 
