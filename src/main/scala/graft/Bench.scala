@@ -141,8 +141,15 @@ object Bench {
           s"-XX:ConcGCThreads=${math.max(1, math.min(2, cpus / 4))}")
         private val javaBin = java.nio.file.Paths.get(
           System.getProperty("java.home"), "bin", "java").toString
+        // under spark-submit the app jar is NOT on java.class.path (it's
+        // loaded by a child classloader) — append the artifact that holds
+        // this class; under sbt it's a harmless duplicate of classes/
+        private val selfJar = classOf[Bench.type].getProtectionDomain
+          .getCodeSource.getLocation.getPath
+        private val cp = System.getProperty("java.class.path") +
+          java.io.File.pathSeparator + selfJar
         private val cmd = Seq(javaBin) ++ inherited ++ gc ++ Seq(
-          "-cp", System.getProperty("java.class.path"), "graft.BenchLevel",
+          "-cp", cp, "graft.BenchLevel",
           corpus, warmCorpus, base, cpus.toString, parts.toString,
           warms.toString, tag)
         private val proc = new ProcessBuilder(cmd: _*)
