@@ -5,7 +5,7 @@ import org.scalacheck.Prop.forAll
 
 import graft.core.{Doc, InKind, Span}
 import graft.golden.GoldenExtractor
-import graft.kernel.{Chunker, Extractor}
+import graft.kernel.{Chunker, Extractor, FastDetectors}
 
 /** Property tests (SURVEY.md §5.2 item 3). The central property is
   * adversarial kernel-vs-golden parity on arbitrary (including malformed)
@@ -82,6 +82,71 @@ object KernelProps extends Properties("kernel") {
   property("fused cleanHtml == reference formulation on arbitrary strings") =
     forAll(Gen.oneOf(interesting, Gen.asciiPrintableStr, Arbitrary.arbitrary[String])) { s =>
       Extractor.cleanHtml(s) == Extractor.cleanHtmlSlow(s)
+    }
+
+  // ------------------------------------------------------- fast detectors
+
+  /** Adversarial near-miss fragments for the hand-rolled scanners: month
+    * names, truncated/overlong days and years, ISO-ish runs, city names,
+    * uppercase runs around dashes, unicode word chars (Java \b is
+    * unicode-aware), overlap-consumption traps. */
+  private val detectorFragment: Gen[String] = Gen.oneOf(
+    Gen.oneOf("January", "Februar", "May", "Mayy", "December", "Septembe",
+      "March 14, 2023", "May 5, 12345", "May 55, 2023", "May 555, 2023",
+      "January 20, 2023-01-02", "2023-01-02", "12023-01-02", "2023-011-02",
+      "2023-01-022024-02-03", "x2023-01-02", "2023-01-02x", "é2023-01-02",
+      "May 1,2023", "May , 2023"),
+    Gen.oneOf("Washington, DC", "Austin, TX", "Austin, TXX", "Austin,TX",
+      "Arlington, va", "Portlandia, OR", "Boston, MAé", "xBoston, MA"),
+    Gen.oneOf("AB-1234-5678", "ABCDE-1234-5678", "A-1234-5678", "AB-123-5678",
+      "AB-1234-567", "AB-12345-67890", "xAB-1234-5678", "AB-1234-5678x",
+      "éAB-1234-5678", "AB-1234-5678-9012", "ABCD-99999-00001"),
+    Gen.oneOf(" ", ", ", "-", "1", "A", "a", "é", "х", "①", "_", ""),
+    Gen.choose(1, 8).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf(Gen.numChar, Gen.alphaUpperChar, Gen.alphaLowerChar)).map(_.mkString)))
+
+  private val detectorText: Gen[String] =
+    Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, detectorFragment).map(_.mkString))
+
+  private def regexMatches(re: String, t: String): Seq[(Int, Int)] = {
+    val m = java.util.regex.Pattern.compile(re).matcher(t)
+    val out = Seq.newBuilder[(Int, Int)]
+    while (m.find()) out += ((m.start, m.end))
+    out.result()
+  }
+
+  private def specPattern(kind: String): String =
+    graft.core.Spec.EntityPatterns.find(_._1 == kind).get._2
+
+  property("fast DATE scanner == compiled pattern on adversarial inputs") =
+    forAll(detectorText) { t =>
+      FastDetectors.dateMatches(t) == regexMatches(specPattern("DATE"), t)
+    }
+
+  property("fast LOCATION scanner == compiled pattern on adversarial inputs") =
+    forAll(detectorText) { t =>
+      FastDetectors.locationMatches(t) == regexMatches(specPattern("LOCATION"), t)
+    }
+
+  property("fast CONTRACT scanner == compiled pattern on adversarial inputs") =
+    forAll(detectorText) { t =>
+      FastDetectors.contractMatches(t) == regexMatches(specPattern("CONTRACT_NUMBER"), t)
+    }
+
+  property("fused exemption scan == 11 per-pattern scans on adversarial inputs") =
+    forAll(Gen.choose(0, 10).flatMap(n => Gen.listOfN(n, Gen.oneOf(
+      "(b)(1)", "(b)(7)(C)", "(B)(7)(c)", "(b)(7)", "(b)(8)", "(b)(7)(B)",
+      "(b)((b)(1)", "(b)(7)((b)(5)", " ", "x", "(b)(", "é")).map(_.mkString))) { t =>
+      val fused = Extractor.exemptionScan(t).map { case (s, e, d, code) => (s, e, d, code) }
+      val multi = {
+        val hits = Seq.newBuilder[(Int, Int, Int, String)]
+        Extractor.exemptionDetectors.zipWithIndex.foreach { case ((code, p), d) =>
+          val m = p.matcher(t)
+          while (m.find()) hits += ((m.start, m.end, d, code))
+        }
+        hits.result().sortBy { case (s, e, d, _) => (s, e, d) }
+      }
+      fused.sortBy { case (s, e, d, _) => (s, e, d) } == multi
     }
 
   // ---------------------------------------------------------------- chunker
