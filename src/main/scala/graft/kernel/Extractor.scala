@@ -194,6 +194,7 @@ object Extractor extends Serializable {
   /** find()-equivalent fast scanners for the detectors that dominate the
     * profile (FastDetectors scaladoc); equivalence fuzzed in KernelProps. */
   private val fastEntityScanners: Map[String, String => Seq[(Int, Int)]] = Map(
+    "PERSON" -> FastDetectors.personMatches,
     "DATE" -> FastDetectors.dateMatches,
     "LOCATION" -> FastDetectors.locationMatches,
     "CONTRACT_NUMBER" -> FastDetectors.contractMatches)

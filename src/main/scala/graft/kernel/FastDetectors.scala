@@ -91,6 +91,55 @@ private[graft] object FastDetectors {
     consume(cands.result().sortBy(_._1))
   }
 
+  /** Lowercase-run helper: length of [a-z]+ starting at i. */
+  private def lowerRun(t: String, i: Int): Int = {
+    var n = 0
+    while (i + n < t.length && { val c = t.charAt(i + n); c >= 'a' && c <= 'z' }) n += 1
+    n
+  }
+
+  private val Titles = Array("Mr", "Ms", "Mrs", "Dr") // regex alternation order
+
+  /** PERSON: `\b(?:Mr|Ms|Mrs|Dr)\. [A-Z][a-z]+ [A-Z][a-z]+\b`. The regex
+    * tries the title alternatives in order with full continuation; a greedy
+    * `[a-z]+` followed by a literal can only succeed run-whole (backtracked
+    * positions still face a lowercase next char). */
+  def personMatches(t: String): Seq[(Int, Int)] = {
+    @inline def isUp(c: Char) = c >= 'A' && c <= 'Z'
+    def name(i: Int): Int = { // length of [A-Z][a-z]+ at i, or -1
+      if (i < t.length && isUp(t.charAt(i))) {
+        val r = lowerRun(t, i + 1)
+        if (r >= 1) 1 + r else -1
+      } else -1
+    }
+    val cands = Seq.newBuilder[(Int, Int)]
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if ((c == 'M' || c == 'D') && boundaryBefore(t, i)) {
+        var hit = -1
+        var k = 0
+        while (hit < 0 && k < Titles.length) {
+          val title = Titles(k)
+          if (t.regionMatches(i, title, 0, title.length) &&
+            t.regionMatches(i + title.length, ". ", 0, 2)) {
+            val f = i + title.length + 2
+            val n1 = name(f)
+            if (n1 > 0 && f + n1 < t.length && t.charAt(f + n1) == ' ') {
+              val n2 = name(f + n1 + 1)
+              if (n2 > 0 && boundaryAfter(t, f + n1 + 1 + n2))
+                hit = f + n1 + 1 + n2
+            }
+          }
+          k += 1
+        }
+        if (hit > 0) cands += ((i, hit))
+      }
+      i += 1
+    }
+    consume(cands.result())
+  }
+
   private val Cities = Array("Washington", "Arlington", "Springfield", "Denver",
     "Austin", "Phoenix", "Seattle", "Portland", "Chicago", "Boston")
   private val CitiesByInitial: Map[Char, Array[String]] = Cities.groupBy(_.charAt(0))

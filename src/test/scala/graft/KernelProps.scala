@@ -101,6 +101,9 @@ object KernelProps extends Properties("kernel") {
     Gen.oneOf("AB-1234-5678", "ABCDE-1234-5678", "A-1234-5678", "AB-123-5678",
       "AB-1234-567", "AB-12345-67890", "xAB-1234-5678", "AB-1234-5678x",
       "éAB-1234-5678", "AB-1234-5678-9012", "ABCD-99999-00001"),
+    Gen.oneOf("Mr. James Smith", "Mrs. Ada Lovelace", "Dr. X Y", "Mr. Ab C",
+      "Ms. lower case", "Mr.James Smith", "Mr. James", "xMr. James Smith",
+      "Mr. James Smithé", "Mrs. Mr. Ab Cd", "Dr. Ada Lovelace Bureau"),
     Gen.oneOf(" ", ", ", "-", "1", "A", "a", "é", "х", "①", "_", ""),
     Gen.choose(1, 8).flatMap(n => Gen.listOfN(n,
       Gen.oneOf(Gen.numChar, Gen.alphaUpperChar, Gen.alphaLowerChar)).map(_.mkString)))
@@ -117,6 +120,11 @@ object KernelProps extends Properties("kernel") {
 
   private def specPattern(kind: String): String =
     graft.core.Spec.EntityPatterns.find(_._1 == kind).get._2
+
+  property("fast PERSON scanner == compiled pattern on adversarial inputs") =
+    forAll(detectorText) { t =>
+      FastDetectors.personMatches(t) == regexMatches(specPattern("PERSON"), t)
+    }
 
   property("fast DATE scanner == compiled pattern on adversarial inputs") =
     forAll(detectorText) { t =>
