@@ -70,12 +70,16 @@ object Bench {
     val cpusMax = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       sys.env.getOrElse("SPARK_GRAFT_CPUS_MAX",
         Runtime.getRuntime.availableProcessors().toString)).toInt
-    // 200k matches the BASELINE.md methodology: at 120k the 8-core runs are
-    // ~11 s and fixed per-run overhead (~1.5-2 s) deflates the measured
-    // ratio; at 200k the kernel fraction dominates both levels
-    val nDocs = sys.env.getOrElse("SPARK_GRAFT_EXTRACT_DOCS", "200000").toLong
+    // the corpus must be big enough that the 4N-level run dwarfs the
+    // ~1.5-2 s fixed per-run overhead (write commit + read-back +
+    // scheduling), or the ratio measures overhead, not the job; after the
+    // round-2 kernel speedup (2x) the 8-core run at 200k dropped to ~11 s,
+    // so the default grew to 300k (~15 s at 8 cores, overhead < 15%)
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_EXTRACT_DOCS", "300000").toLong
     val parts = sys.env.getOrElse("SPARK_GRAFT_EXTRACT_PARTS", "128").toInt
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // 2 interleaved passes + the page-in pre-pass = 3 min-samples per
+    // level; keeps the whole bench (queries + 300k-doc extraction) ~7 min
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
 
     // ---- section 1: query surface at all cores ------------------------
     var spark = session(cpusMax, 32)
