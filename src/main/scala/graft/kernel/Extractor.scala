@@ -161,8 +161,14 @@ object Extractor extends Serializable {
   private[graft] def cleanHtmlSlow(s: String): String = normWs(decodeEntities(stripTags(s)))
   private[graft] def cleanPlain(s: String): String = normWs(s)
 
+  @inline private def countChar(s: String, c: Char): Int = {
+    var n = 0; var i = 0
+    while (i < s.length) { if (s.charAt(i) == c) n += 1; i += 1 }
+    n
+  }
+
   private def wordCount(cleaned: String): Int =
-    if (cleaned.isEmpty) 0 else cleaned.count(_ == ' ') + 1
+    if (cleaned.isEmpty) 0 else countChar(cleaned, ' ') + 1
 
   // --------------------------------------------------------------- scoring
 
@@ -172,7 +178,7 @@ object Extractor extends Serializable {
   private[graft] def scoreHtml(kind: String, raw: String): HtmlScore = {
     val cleaned = cleanHtml(raw)
     val words = wordCount(cleaned)
-    val lines = raw.count(_ == '\n') + 1
+    val lines = countChar(raw, '\n') + 1
     val linkDensity =
       if (kind == InKind.HtmlLink) 1.0
       else if (cleaned.isEmpty || raw.indexOf("<a") < 0) 0.0
@@ -195,7 +201,9 @@ object Extractor extends Serializable {
     * profile (FastDetectors scaladoc); equivalence fuzzed in KernelProps. */
   private val fastEntityScanners: Map[String, String => Seq[(Int, Int)]] = Map(
     "PERSON" -> FastDetectors.personMatches,
+    "ORGANIZATION" -> FastDetectors.organizationMatches,
     "DATE" -> FastDetectors.dateMatches,
+    "EMAIL" -> FastDetectors.emailMatches,
     "LOCATION" -> FastDetectors.locationMatches,
     "CONTRACT_NUMBER" -> FastDetectors.contractMatches)
 

@@ -140,6 +140,104 @@ private[graft] object FastDetectors {
     consume(cands.result())
   }
 
+  private val OrgSuffixes = // regex alternation order
+    Array("Agency", "Bureau", "Department", "Commission", "Office", "Administration")
+
+  /** ORGANIZATION: `\b(?:[A-Z][a-z]+ ){1,3}(?:Agency|Bureau|Department|
+    * Commission|Office|Administration)\b`. Greedy `{1,3}` tries 3 words,
+    * then 2, then 1, each with full continuation; a word `[A-Z][a-z]+` is
+    * run-whole (backtracking it still faces a lowercase next char before
+    * the required space). */
+  def organizationMatches(t: String): Seq[(Int, Int)] = {
+    @inline def isUp(c: Char) = c >= 'A' && c <= 'Z'
+    def wordLen(i: Int): Int = { // [A-Z][a-z]+ followed by ' ', incl. space; -1 if none
+      if (i < t.length && isUp(t.charAt(i))) {
+        val r = lowerRun(t, i + 1)
+        if (r >= 1 && i + 1 + r < t.length && t.charAt(i + 1 + r) == ' ') 2 + r else -1
+      } else -1
+    }
+    def suffixEnd(i: Int): Int = { // end of suffix+\b at i, or -1
+      var k = 0
+      while (k < OrgSuffixes.length) {
+        val sfx = OrgSuffixes(k)
+        if (t.regionMatches(i, sfx, 0, sfx.length) && boundaryAfter(t, i + sfx.length))
+          return i + sfx.length
+        k += 1
+      }
+      -1
+    }
+    val cands = Seq.newBuilder[(Int, Int)]
+    var i = 0
+    while (i < t.length) {
+      if (isUp(t.charAt(i)) && boundaryBefore(t, i)) {
+        val w1 = wordLen(i)
+        if (w1 > 0) {
+          val w2 = wordLen(i + w1)
+          val w3 = if (w2 > 0) wordLen(i + w1 + w2) else -1
+          // greedy: 3 words, then 2, then 1 — first full continuation wins
+          val end =
+            if (w3 > 0 && suffixEnd(i + w1 + w2 + w3) > 0) suffixEnd(i + w1 + w2 + w3)
+            else if (w2 > 0 && suffixEnd(i + w1 + w2) > 0) suffixEnd(i + w1 + w2)
+            else suffixEnd(i + w1)
+          if (end > 0) cands += ((i, end))
+        }
+      }
+      i += 1
+    }
+    consume(cands.result())
+  }
+
+  /** EMAIL: `\b[a-z][a-z0-9._]*@[a-z0-9.-]+\.(?:gov|com|org)\b`. The local
+    * part is anchored backward from '@' (leftmost feasible start wins —
+    * regex scanning order); the greedy domain backtracks for the longest
+    * prefix whose continuation `.tld\b` holds. */
+  def emailMatches(t: String): Seq[(Int, Int)] = {
+    @inline def isLocal(c: Char) =
+      (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '.' || c == '_'
+    @inline def isDomain(c: Char) =
+      (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '.' || c == '-'
+    @inline def isLow(c: Char) = c >= 'a' && c <= 'z'
+    val Tlds = Array(".gov", ".com", ".org")
+    val cands = Seq.newBuilder[(Int, Int)]
+    var i = 0
+    while (i < t.length) {
+      if (t.charAt(i) == '@') {
+        var dEnd = i + 1
+        while (dEnd < t.length && isDomain(t.charAt(dEnd))) dEnd += 1
+        if (dEnd > i + 1) {
+          // greedy domain then backtrack: longest k ≥ 1 with ".tld\b" after
+          var k = dEnd - (i + 1)
+          var end = -1
+          while (end < 0 && k >= 1) {
+            val p = i + 1 + k
+            var ti = 0
+            while (end < 0 && ti < Tlds.length) {
+              if (t.regionMatches(p, Tlds(ti), 0, 4) && boundaryAfter(t, p + 4))
+                end = p + 4
+              ti += 1
+            }
+            k -= 1
+          }
+          if (end > 0) {
+            // EVERY feasible local-part start is a candidate (not just the
+            // leftmost): find()-consumption of an earlier match can resume
+            // MID-run, making an inner start the next leftmost (fuzz
+            // counter-example: "a@x.gov.c@x.gov")
+            var back = i
+            while (back > 0 && isLocal(t.charAt(back - 1))) back -= 1
+            var j = back
+            while (j < i) {
+              if (isLow(t.charAt(j)) && boundaryBefore(t, j)) cands += ((j, end))
+              j += 1
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    consume(cands.result().sortBy(_._1))
+  }
+
   private val Cities = Array("Washington", "Arlington", "Springfield", "Denver",
     "Austin", "Phoenix", "Seattle", "Portland", "Chicago", "Boston")
   private val CitiesByInitial: Map[Char, Array[String]] = Cities.groupBy(_.charAt(0))

@@ -104,6 +104,12 @@ object KernelProps extends Properties("kernel") {
     Gen.oneOf("Mr. James Smith", "Mrs. Ada Lovelace", "Dr. X Y", "Mr. Ab C",
       "Ms. lower case", "Mr.James Smith", "Mr. James", "xMr. James Smith",
       "Mr. James Smithé", "Mrs. Mr. Ab Cd", "Dr. Ada Lovelace Bureau"),
+    Gen.oneOf("Federal Records Agency", "Records Agency Office",
+      "One Two Three Four Bureau", "Agency Agency", "AgencyX", "The Administration",
+      "Ab  Cd Office", "Xy Administration", "A Bureau", "Ab Bureauy", "Ab Bureau"),
+    Gen.oneOf("foia.officer@justice.gov", "a@x.gov", "9ab@x.gov", "_ab@x.gov",
+      ".ab@x.gov", "ab@cd@x.gov", "a@x.gov.com", "a@x.gov-y", "A@x.gov",
+      "a@X.gov", "a@x.edu", "a@.gov", "a@x.govv", "ab.cd_9@mail-srv.example.org"),
     Gen.oneOf(" ", ", ", "-", "1", "A", "a", "é", "х", "①", "_", ""),
     Gen.choose(1, 8).flatMap(n => Gen.listOfN(n,
       Gen.oneOf(Gen.numChar, Gen.alphaUpperChar, Gen.alphaLowerChar)).map(_.mkString)))
@@ -124,6 +130,16 @@ object KernelProps extends Properties("kernel") {
   property("fast PERSON scanner == compiled pattern on adversarial inputs") =
     forAll(detectorText) { t =>
       FastDetectors.personMatches(t) == regexMatches(specPattern("PERSON"), t)
+    }
+
+  property("fast ORGANIZATION scanner == compiled pattern on adversarial inputs") =
+    forAll(detectorText) { t =>
+      FastDetectors.organizationMatches(t) == regexMatches(specPattern("ORGANIZATION"), t)
+    }
+
+  property("fast EMAIL scanner == compiled pattern on adversarial inputs") =
+    forAll(detectorText) { t =>
+      FastDetectors.emailMatches(t) == regexMatches(specPattern("EMAIL"), t)
     }
 
   property("fast DATE scanner == compiled pattern on adversarial inputs") =
