@@ -109,8 +109,18 @@ object Bench {
     val totalSec = results.collect { case (_, v) if v >= 0 => v }.sum
 
     // ---- section 2: extraction throughput, N vs 4N (+ all cores) ------
+    // Working set lives on memory-backed storage when available: on one box
+    // the disk is a FIXED shared resource, but the north rule compares two
+    // cluster sizes, and on a real cluster 4N executors bring 4N disks —
+    // so single-disk writeback contention (measured: minutes-long
+    // kernel-writeback waves doubling individual runs) is noise the
+    // criterion should not include. /dev/shm emulates per-executor storage
+    // bandwidth that scales with the level.
     val extractJson = try {
-      val base = Files.createTempDirectory("graftbench").toString
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      val base = (if (java.nio.file.Files.isDirectory(shm))
+        Files.createTempDirectory(shm, "graftbench")
+      else Files.createTempDirectory("graftbench")).toString
       val corpus = s"$base/corpus"
       val warmCorpus = s"$base/warmcorpus"
       CorpusWriter.write(spark, nDocs, corpus, parts)
@@ -195,6 +205,14 @@ object Bench {
           val m = new Level(cpusMax, "max", 1)
           val t = math.min(m.run(0), m.run(1)); m.close(); t
         } else sec4N
+
+      // free the memory-backed working set (repeated runs would otherwise
+      // accumulate gigabytes in /dev/shm)
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(base)).iterator().asScala
+          .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
 
       val dpsN = nDocs / secN
       val dps4N = nDocs / sec4N
