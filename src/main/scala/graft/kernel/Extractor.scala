@@ -203,9 +203,14 @@ object Extractor extends Serializable {
     "PERSON" -> FastDetectors.personMatches,
     "ORGANIZATION" -> FastDetectors.organizationMatches,
     "DATE" -> FastDetectors.dateMatches,
+    "MONEY" -> FastDetectors.moneyMatches,
+    "DOCUMENT_ID" -> FastDetectors.documentIdMatches,
+    "PHONE" -> FastDetectors.phoneMatches,
     "EMAIL" -> FastDetectors.emailMatches,
     "LOCATION" -> FastDetectors.locationMatches,
-    "CONTRACT_NUMBER" -> FastDetectors.contractMatches)
+    "CONTRACT_NUMBER" -> FastDetectors.contractMatches,
+    "CASE_NUMBER" -> FastDetectors.caseNumberMatches,
+    "FOIA_TRACKING" -> FastDetectors.foiaMatches)
 
   /** All detector matches over cleaned text, sorted by (start,end,detector).
     * EXTRACTION_SPEC §3. */

@@ -140,6 +140,95 @@ private[graft] object FastDetectors {
     consume(cands.result())
   }
 
+  /** MONEY: `\$\d{1,3}(?:,\d{3})*(?:\.\d{2})?` — no boundaries, nothing
+    * after the optional groups, so greedy never backtracks: take up to 3
+    * digits, then every ",ddd" group, then ".dd" if present. */
+  def moneyMatches(t: String): Seq[(Int, Int)] = {
+    val cands = Seq.newBuilder[(Int, Int)]
+    var i = 0
+    while (i < t.length) {
+      if (t.charAt(i) == '$') {
+        val d = digitRun(t, i + 1, 3)
+        if (d >= 1) {
+          var p = i + 1 + d
+          while (p < t.length && t.charAt(p) == ',' && digitRun(t, p + 1, 3) == 3) p += 4
+          if (p < t.length && t.charAt(p) == '.' && digitRun(t, p + 1, 2) == 2) p += 3
+          cands += ((i, p))
+        }
+      }
+      i += 1
+    }
+    consume(cands.result())
+  }
+
+  /** DOCUMENT_ID: `\bDOC-\d{6,}\b` — digit run taken whole (backtracking
+    * faces a digit before the boundary). */
+  def documentIdMatches(t: String): Seq[(Int, Int)] = {
+    val cands = Seq.newBuilder[(Int, Int)]
+    var i = 0
+    while (i < t.length) {
+      if (t.charAt(i) == 'D' && boundaryBefore(t, i) &&
+        t.regionMatches(i, "DOC-", 0, 4)) {
+        val r = digitRun(t, i + 4)
+        if (r >= 6 && boundaryAfter(t, i + 4 + r)) cands += ((i, i + 4 + r))
+      }
+      i += 1
+    }
+    consume(cands.result())
+  }
+
+  /** PHONE: `\(\d{3}\) \d{3}-\d{4}` — fixed shape, no boundaries. */
+  def phoneMatches(t: String): Seq[(Int, Int)] = {
+    val cands = Seq.newBuilder[(Int, Int)]
+    var i = 0
+    while (i < t.length) {
+      if (t.charAt(i) == '(' &&
+        digitRun(t, i + 1, 4) == 3 && t.regionMatches(i + 4, ") ", 0, 2) &&
+        digitRun(t, i + 6, 4) == 3 && i + 9 < t.length && t.charAt(i + 9) == '-' &&
+        digitRun(t, i + 10, 4) >= 4)
+        cands += ((i, i + 14))
+      i += 1
+    }
+    consume(cands.result())
+  }
+
+  /** CASE_NUMBER: `\b\d{2}-cv-\d{4,}\b`, anchored at "-cv-". */
+  def caseNumberMatches(t: String): Seq[(Int, Int)] = {
+    val cands = Seq.newBuilder[(Int, Int)]
+    var i = 2
+    while (i < t.length) {
+      if (t.charAt(i) == '-' && t.regionMatches(i, "-cv-", 0, 4) &&
+        isD(t.charAt(i - 1)) && isD(t.charAt(i - 2)) && boundaryBefore(t, i - 2)) {
+        val r = digitRun(t, i + 4)
+        if (r >= 4 && boundaryAfter(t, i + 4 + r)) cands += ((i - 2, i + 4 + r))
+      }
+      i += 1
+    }
+    consume(cands.result())
+  }
+
+  /** FOIA_TRACKING: `\bFOI[A]?-\d{4}-\d+\b` — the optional A is greedy but
+    * its failure leaves '-' required at the same spot, which 'A' can't be. */
+  def foiaMatches(t: String): Seq[(Int, Int)] = {
+    val cands = Seq.newBuilder[(Int, Int)]
+    var i = 0
+    while (i < t.length) {
+      if (t.charAt(i) == 'F' && boundaryBefore(t, i) &&
+        t.regionMatches(i, "FOI", 0, 3)) {
+        var j = i + 3
+        if (j < t.length && t.charAt(j) == 'A') j += 1
+        if (j < t.length && t.charAt(j) == '-' &&
+          digitRun(t, j + 1, 5) == 4 &&
+          j + 5 < t.length && t.charAt(j + 5) == '-') {
+          val r = digitRun(t, j + 6)
+          if (r >= 1 && boundaryAfter(t, j + 6 + r)) cands += ((i, j + 6 + r))
+        }
+      }
+      i += 1
+    }
+    consume(cands.result())
+  }
+
   private val OrgSuffixes = // regex alternation order
     Array("Agency", "Bureau", "Department", "Commission", "Office", "Administration")
 

@@ -101,6 +101,17 @@ object KernelProps extends Properties("kernel") {
     Gen.oneOf("AB-1234-5678", "ABCDE-1234-5678", "A-1234-5678", "AB-123-5678",
       "AB-1234-567", "AB-12345-67890", "xAB-1234-5678", "AB-1234-5678x",
       "éAB-1234-5678", "AB-1234-5678-9012", "ABCD-99999-00001"),
+    Gen.oneOf("$1,234.56", "$123", "$1234", "$12,34", "$123,4567", "$1,234,567.89",
+      "$1.2", "$.50", "$123.456", "$1$2", "$123,45"),
+    Gen.oneOf("DOC-123456", "DOC-12345", "DOC-1234567x", "xDOC-123456",
+      "DOC-123456789", "doc-123456", "DOCX-123456"),
+    Gen.oneOf("(202) 555-0100", "(20) 555-0100", "(2022) 555-0100",
+      "(202) 555-01000", "(202)555-0100", "(202) 5550100", "x(202) 555-0100"),
+    Gen.oneOf("23-cv-4567", "23-cv-456", "123-cv-4567", "x23-cv-4567",
+      "23-cv-45678y", "23-CV-4567", "23-cv-4567-89"),
+    Gen.oneOf("FOIA-2023-99", "FOI-2023-99", "FOIA-202-99", "FOIAA-2023-99",
+      "FOIA-20233-99", "FOIA-2023-", "FOIA-2023-99x", "xFOIA-2023-99",
+      "FOIB-2023-99"),
     Gen.oneOf("Mr. James Smith", "Mrs. Ada Lovelace", "Dr. X Y", "Mr. Ab C",
       "Ms. lower case", "Mr.James Smith", "Mr. James", "xMr. James Smith",
       "Mr. James Smithé", "Mrs. Mr. Ab Cd", "Dr. Ada Lovelace Bureau"),
@@ -155,6 +166,15 @@ object KernelProps extends Properties("kernel") {
   property("fast CONTRACT scanner == compiled pattern on adversarial inputs") =
     forAll(detectorText) { t =>
       FastDetectors.contractMatches(t) == regexMatches(specPattern("CONTRACT_NUMBER"), t)
+    }
+
+  property("fast MONEY/DOC_ID/PHONE/CASE/FOIA scanners == compiled patterns") =
+    forAll(detectorText) { t =>
+      FastDetectors.moneyMatches(t) == regexMatches(specPattern("MONEY"), t) &&
+      FastDetectors.documentIdMatches(t) == regexMatches(specPattern("DOCUMENT_ID"), t) &&
+      FastDetectors.phoneMatches(t) == regexMatches(specPattern("PHONE"), t) &&
+      FastDetectors.caseNumberMatches(t) == regexMatches(specPattern("CASE_NUMBER"), t) &&
+      FastDetectors.foiaMatches(t) == regexMatches(specPattern("FOIA_TRACKING"), t)
     }
 
   property("fused exemption scan == 11 per-pattern scans on adversarial inputs") =
