@@ -207,6 +207,7 @@ object Extractor extends Serializable {
     "DOCUMENT_ID" -> FastDetectors.documentIdMatches,
     "PHONE" -> FastDetectors.phoneMatches,
     "EMAIL" -> FastDetectors.emailMatches,
+    "ADDRESS" -> FastDetectors.addressMatches,
     "LOCATION" -> FastDetectors.locationMatches,
     "CONTRACT_NUMBER" -> FastDetectors.contractMatches,
     "CASE_NUMBER" -> FastDetectors.caseNumberMatches,

@@ -229,6 +229,68 @@ private[graft] object FastDetectors {
     consume(cands.result())
   }
 
+  private val StreetSuffixes = Array("St", "Ave", "Blvd", "Rd") // distinct initials
+
+  /** ADDRESS: `\b\d{1,5} [A-Z][a-z]+ (?:St|Ave|Blvd|Rd)\., [A-Z][a-z]+,
+    * [A-Z]{2} \d{5}(?:-\d{4})?\b`. Feasible starts are digit-run starts
+    * only (mid-run lacks the boundary); the house-number run must be ≤5
+    * digits taken whole (backtracked positions face a digit where the
+    * space is required); zip is exactly 5 (a 6th digit kills the mandatory
+    * boundary with no backtrack available); the optional zip+4 is greedy
+    * but falls back to ending at the '-' (itself a boundary) when its four
+    * digits or their boundary fail. */
+  def addressMatches(t: String): Seq[(Int, Int)] = {
+    @inline def isUp(c: Char) = c >= 'A' && c <= 'Z'
+    def wordThen(i: Int, next: String): Int = { // [A-Z][a-z]+ + literal; end after literal, or -1
+      if (i < t.length && isUp(t.charAt(i))) {
+        val r = lowerRun(t, i + 1)
+        if (r >= 1 && t.regionMatches(i + 1 + r, next, 0, next.length))
+          i + 1 + r + next.length
+        else -1
+      } else -1
+    }
+    val cands = Seq.newBuilder[(Int, Int)]
+    var i = 0
+    while (i < t.length) {
+      if (isD(t.charAt(i)) && boundaryBefore(t, i)) {
+        val run = digitRun(t, i, 6)
+        if (run <= 5 && i + run < t.length && t.charAt(i + run) == ' ') {
+          val afterName = wordThen(i + run + 1, " ")
+          if (afterName > 0) {
+            var sfxEnd = -1
+            var k = 0
+            while (sfxEnd < 0 && k < StreetSuffixes.length) {
+              val sfx = StreetSuffixes(k)
+              if (t.regionMatches(afterName, sfx, 0, sfx.length) &&
+                t.regionMatches(afterName + sfx.length, "., ", 0, 3))
+                sfxEnd = afterName + sfx.length + 3
+              k += 1
+            }
+            if (sfxEnd > 0) {
+              val afterCity = wordThen(sfxEnd, ", ")
+              if (afterCity > 0 && afterCity + 2 < t.length &&
+                isUp(t.charAt(afterCity)) && isUp(t.charAt(afterCity + 1)) &&
+                t.charAt(afterCity + 2) == ' ') {
+                val z = afterCity + 3
+                if (digitRun(t, z, 6) == 5) {
+                  val dash = z + 5 < t.length && t.charAt(z + 5) == '-'
+                  val end =
+                    if (dash && digitRun(t, z + 6, 5) == 4 && boundaryAfter(t, z + 10)) z + 10
+                    else if (dash) z + 5 // '-' is itself a boundary
+                    else if (boundaryAfter(t, z + 5)) z + 5
+                    else -1
+                  if (end > 0) cands += ((i, end))
+                }
+              }
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    consume(cands.result())
+  }
+
   private val OrgSuffixes = // regex alternation order
     Array("Agency", "Bureau", "Department", "Commission", "Office", "Administration")
 

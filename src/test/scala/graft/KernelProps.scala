@@ -112,6 +112,12 @@ object KernelProps extends Properties("kernel") {
     Gen.oneOf("FOIA-2023-99", "FOI-2023-99", "FOIA-202-99", "FOIAA-2023-99",
       "FOIA-20233-99", "FOIA-2023-", "FOIA-2023-99x", "xFOIA-2023-99",
       "FOIB-2023-99"),
+    Gen.oneOf("12 Oak St., Denver, CO 80201", "123456 Oak St., Denver, CO 80201",
+      "12 Oak Stve., Denver, CO 80201", "12 Oak Ave., Denver, CO 80201-1234",
+      "12 Oak Ave., Denver, CO 80201-12345", "12 Oak Rd., Denver, COO 80201",
+      "12 Oak Blvd., X, CO 80201", "12 Oak St., Denver, CO 802011",
+      "12 Oak St., Denver, CO 80201x", "12 Oak St., Denver, CO 80201-123x",
+      "x12 Oak St., Denver, CO 80201", "12  Oak St., Denver, CO 80201"),
     Gen.oneOf("Mr. James Smith", "Mrs. Ada Lovelace", "Dr. X Y", "Mr. Ab C",
       "Ms. lower case", "Mr.James Smith", "Mr. James", "xMr. James Smith",
       "Mr. James Smithé", "Mrs. Mr. Ab Cd", "Dr. Ada Lovelace Bureau"),
@@ -175,6 +181,11 @@ object KernelProps extends Properties("kernel") {
       FastDetectors.phoneMatches(t) == regexMatches(specPattern("PHONE"), t) &&
       FastDetectors.caseNumberMatches(t) == regexMatches(specPattern("CASE_NUMBER"), t) &&
       FastDetectors.foiaMatches(t) == regexMatches(specPattern("FOIA_TRACKING"), t)
+    }
+
+  property("fast ADDRESS scanner == compiled pattern on adversarial inputs") =
+    forAll(detectorText) { t =>
+      FastDetectors.addressMatches(t) == regexMatches(specPattern("ADDRESS"), t)
     }
 
   property("fused exemption scan == 11 per-pattern scans on adversarial inputs") =
