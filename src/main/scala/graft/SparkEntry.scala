@@ -130,6 +130,34 @@ object SparkEntry {
       .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
       .orderBy(col("c_mktsegment"))),
 
+    // co-located fact-fact join via bucketing (§4.2 scale pattern): both
+    // sides written bucketBy+sortBy on the join key, then a merge join with
+    // NO shuffle exchange on that key — the layout a 100 TB deployment uses
+    // for repeated fact-fact joins (plan pinned shuffle-free by
+    // BucketingSpec over this exact query; result oracled as a plain join)
+    "j8_bucketed_join" -> ((s, d) => {
+      // drop catalog entries AND stale warehouse locations (the in-memory
+      // catalog forgets tables across sessions; the directory survives)
+      Seq("graft_bkt_lineitem", "graft_bkt_orders").foreach { tbl =>
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val p = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"), tbl)
+        val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      t(s, d, "lineitem").select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .write.mode("overwrite").bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_bkt_lineitem")
+      t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+        .write.mode("overwrite").bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_bkt_orders")
+      s.table("graft_bkt_lineitem").hint("merge")
+        .join(s.table("graft_bkt_orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // ---------------------------------------------------- aggregates (§2.4)
     // A2: group-by counts (campaign.py:221-224)
     "a2_status_counts" -> ((s, d) => t(s, d, "orders")
@@ -546,6 +574,11 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey
         |  AND o_orderdate >= TIMESTAMP '2001-01-01')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "j8_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "a2_status_counts" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders
         |GROUP BY o_orderstatus, o_orderpriority ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
@@ -752,5 +785,73 @@ object SparkEntry {
         | round(CASE WHEN len(regexp_extract_all(text,'\S+')) > 0
         |  THEN (CAST(length(text) AS DOUBLE) - (len(regexp_extract_all(text,'\S+')) - 1))
         |       / len(regexp_extract_all(text,'\S+')) ELSE 0 END, 4) AS avg_word_len
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // FNV-1a64 over UTF-16 code units, re-expressed as a HUGEINT fold over
+    // code points (generated corpus is BMP-only, so units == points);
+    // pmod(h,16) == unsigned h % 16 because 2^64 ≡ 0 (mod 16)
+    "cf_native_fnv" ->
+      """WITH h AS (SELECT list_reduce(
+        |    list_prepend(14695981039346656037::HUGEINT,
+        |      [unicode(text[i])::HUGEINT for i in generate_series(1, length(text))]),
+        |    (a, b) -> (xor(a, b) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+        |  ) % 16 AS bucket FROM documents)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+    // winnowing fingerprints: rolling 8-gram char FNV, signed-sorted
+    // distinct, smallest 16 — the HUGEINT fold mirrors Java's wrapping
+    // 64-bit arithmetic; signed view restored before the sort
+    "ta_fingerprints" ->
+      """WITH c AS (SELECT doc_id, text,
+        |    [unicode(text[i])::HUGEINT for i in generate_series(1, length(text))] AS cs
+        |  FROM documents),
+        |f AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    CASE WHEN length(text) < 8 THEN
+        |      [list_reduce(list_prepend(14695981039346656037::HUGEINT, cs),
+        |        (a, b) -> (xor(a, b) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)]
+        |    ELSE
+        |      [list_reduce(list_prepend(14695981039346656037::HUGEINT, cs[i:i+7]),
+        |        (a, b) -> (xor(a, b) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)
+        |       for i in generate_series(1, length(text)-7)] END AS hs FROM c),
+        |s AS (SELECT doc_id,
+        |    list_sort(list_distinct([CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |      THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) for h in hs]))[1:16]
+        |    AS sfps FROM f),
+        |e AS (SELECT doc_id,
+        |    unnest([{'idx': i - 1, 'fp': sfps[i]} for i in generate_series(1, len(sfps))]) AS u
+        |  FROM s)
+        |SELECT doc_id, CAST(u.idx AS BIGINT) AS idx, u.fp AS fp
+        |FROM e ORDER BY doc_id, idx""".stripMargin,
+    // FakeCodec.decode re-expressed byte-exactly: FNV-ish fold over the
+    // first 16 UTF-8 bytes (via hex pairs), Java's abs(signed % m) becomes
+    // the unsigned-branch CASE (2^64 ≡ 0 mod m doesn't hold for 1920, so
+    // the negative branch is (2^64 - h) % m); Math.round == floor(x + 0.5)
+    "mm_resize_plan" ->
+      """WITH x AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |      ELSE 'video' END AS kind,
+        |    substr(hex(encode(text)), 1, 32) AS hx FROM documents),
+        |b AS (SELECT media_id, kind, CASE WHEN length(hx) = 0 THEN 0::HUGEINT
+        |    ELSE list_reduce(
+        |      list_prepend(1469598103934665603::HUGEINT,
+        |        [((strpos('0123456789ABCDEF', hx[2*i-1])-1)*16
+        |          + strpos('0123456789ABCDEF', hx[2*i])-1)::HUGEINT
+        |         for i in generate_series(1, length(hx)//2)]),
+        |      (a, c) -> (xor(a, c) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)
+        |    END AS h
+        |  FROM x WHERE kind IN ('image','video')),
+        |wh AS (SELECT media_id, kind,
+        |    CAST(CASE WHEN h < 9223372036854775808::HUGEINT
+        |        THEN h % (CASE kind WHEN 'image' THEN 1920 ELSE 1280 END)
+        |        ELSE (18446744073709551616::HUGEINT - h)
+        |          % (CASE kind WHEN 'image' THEN 1920 ELSE 1280 END) END + 64 AS INT) AS width,
+        |    CAST(CASE WHEN h < 9223372036854775808::HUGEINT
+        |        THEN h % (CASE kind WHEN 'image' THEN 1080 ELSE 720 END)
+        |        ELSE (18446744073709551616::HUGEINT - h)
+        |          % (CASE kind WHEN 'image' THEN 1080 ELSE 720 END) END + 64 AS INT) AS height
+        |  FROM b),
+        |sc AS (SELECT *, least(1.0, 512.0 / greatest(width, height)) AS s FROM wh)
+        |SELECT media_id, kind, width, height,
+        |  CAST(greatest(1, floor(width * s + 0.5)) AS INT) AS out_w,
+        |  CAST(greatest(1, floor(height * s + 0.5)) AS INT) AS out_h
+        |FROM sc ORDER BY media_id""".stripMargin)
 }

@@ -102,6 +102,15 @@ object Spec {
     * ASCII corpus, so chars == bytes for generated data). */
   val MaxSpanChars: Int = 65536
 
+  /** Job-level mega-doc budget (SURVEY.md §7.4.4): a document whose input
+    * exceeds either bound is QUARANTINED by ExtractJob — explicitly visible
+    * in the tag=2 output and the run report — instead of being silently
+    * clipped span-by-span at MaxSpanChars. These are job policy, not kernel
+    * semantics: extractDoc itself is unchanged (kernel/golden parity is
+    * oblivious to them), the guard runs before the kernel is invoked. */
+  val MaxDocSpans: Int = 4096
+  val MaxDocChars: Long = 8L * 1024 * 1024
+
   /** Detection-match ordering inside one text span: by (start, end,
     * detectorIndex) where detectors are numbered: entities first in
     * EntityPatterns order, then exemptions in ExemptionPatterns order. */

@@ -37,8 +37,14 @@ object TableIO {
   def readSubtrees(spark: SparkSession, table: String,
       subtrees: Seq[String]): Option[DataFrame] = {
     require(pathBased, "readSubtrees is a path-layout optimization")
-    val present = subtrees.map(s => s"$table/$s")
-      .filter(p => new java.io.File(p).exists())
+    // Existence resolves through the Hadoop FileSystem of the path's scheme
+    // (file:/, hdfs:, s3a:, …) — a plain java.io.File probe silently
+    // returns false for any non-local URI, which would make callers see an
+    // empty read-back and checkpoint written data as docs_in=0.
+    val hconf = spark.sessionState.newHadoopConf()
+    val present = subtrees.map(s => new org.apache.hadoop.fs.Path(s"$table/$s"))
+      .filter(p => p.getFileSystem(hconf).exists(p))
+      .map(_.toString)
     if (present.isEmpty) None
     else Some(spark.read.format(format).option("basePath", table).load(present: _*))
   }

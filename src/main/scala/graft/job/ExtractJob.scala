@@ -119,7 +119,23 @@ object ExtractJob {
           val rows = it.flatMap { case (id, spans, pid) =>
             val a = accs.getOrElseUpdate(pid, new Acc)
             a.in += 1
-            try {
+            // mega-doc guard (Spec.MaxDocSpans/MaxDocChars): oversize input
+            // is quarantined EXPLICITLY — 100×-scale skew must be visible in
+            // tag=2 + the report, not silently clipped at MaxSpanChars
+            val nSpans = if (spans == null) 0 else spans.length
+            var nChars = 0L
+            if (spans != null) {
+              val si = spans.iterator
+              while (si.hasNext && nChars <= Spec.MaxDocChars) {
+                val t = si.next().text
+                if (t != null) nChars += t.length
+              }
+            }
+            if (nSpans > Spec.MaxDocSpans || nChars > Spec.MaxDocChars)
+              Iterator.single(OutRow(TagQuarantine, pid, id, Seq.empty, 0, 0, "",
+                s"oversize_doc: spans=$nSpans chars>=$nChars " +
+                  s"(budget ${Spec.MaxDocSpans}/${Spec.MaxDocChars})", runId))
+            else try {
               val res = Extractor.extractDoc(Doc(id, spans))
               val dg = Checksums.docDigest(res) // may throw → quarantine, not docs_out
               a.out += 1

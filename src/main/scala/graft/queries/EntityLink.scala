@@ -153,8 +153,13 @@ object EntityLink {
 
   /** Entity co-occurrence edges — the deterministic analog of the
     * reference's LLM relationship extraction (extract.py:99-103 →
-    * entity_links table, models.py:114-122): two canonical mentions
-    * related iff they appear in the same document; weight = #docs.
+    * entity_links table, models.py:114-122 `EntityRelationship(relation,
+    * evidence)`): two canonical mentions related iff they appear in the
+    * same document; weight = #docs. The edge carries the reference's
+    * `relation` label (always "co_mentioned" — the LLM-free analog of its
+    * free-text relation) and `evidence_doc`, the smallest doc_id
+    * witnessing the edge (the reference keeps an evidence excerpt; the
+    * deterministic scalar face keeps the pointer to one witnessing doc).
     * Self-join on doc_id over the (small) distinct (doc, type, norm)
     * projection — never over raw mention volume. */
   def cooccurrence(spark: SparkSession, nDocs: Long, minDocs: Long = 3): DataFrame = {
@@ -166,8 +171,11 @@ object EntityLink {
             (col("a.entity_type") === col("b.entity_type") && col("a.norm") < col("b.norm"))))
       .groupBy(col("a.entity_type").as("type_a"), col("a.norm").as("norm_a"),
         col("b.entity_type").as("type_b"), col("b.norm").as("norm_b"))
-      .agg(count(lit(1)).as("n_docs"))
+      .agg(count(lit(1)).as("n_docs"), min(col("a.doc_id")).as("evidence_doc"))
       .where(col("n_docs") >= minDocs)
+      .withColumn("relation", lit("co_mentioned"))
+      .select(col("type_a"), col("norm_a"), col("type_b"), col("norm_b"),
+        col("relation"), col("n_docs"), col("evidence_doc"))
       .orderBy(col("n_docs").desc, col("type_a"), col("norm_a"), col("type_b"), col("norm_b"))
   }
 

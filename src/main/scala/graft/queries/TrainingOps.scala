@@ -86,10 +86,42 @@ object TrainingOps {
 
   final case class Sig(doc_id: Long, sig: Array[Int])
 
+  /** Rows of `df` whose group (by `keys`) has at most `cap` members. Groups
+    * above the cap are dropped entirely and COUNTED in a named Spark
+    * accumulator (`metric`, visible in the UI / status API) so capped runs
+    * are distinguishable from exact ones. The size pass is a plain count
+    * aggregation — map-side partial agg, bounded state per group — so the
+    * probe itself can never blow up on the hot group it is there to catch;
+    * the join back is an equi-join on the same keys (exchange reusable). */
+  private def dropHotGroups(df: DataFrame, keys: Seq[String], cap: Int,
+      metric: String): DataFrame = {
+    val dropped = df.sparkSession.sparkContext.longAccumulator(metric)
+    val kept = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__gsz"))
+      .filter { r =>
+        val ok = r.getAs[Long]("__gsz") <= cap
+        if (!ok) dropped.add(1)
+        ok
+      }
+      .drop("__gsz")
+    df.join(kept, keys)
+  }
+
   /** Near-dup candidate pairs via MinHash + banded LSH; similarity is the
-    * signature-estimated Jaccard (matching positions / k). */
+    * signature-estimated Jaccard (matching positions / k).
+    *
+    * `maxBucket` caps the size of an LSH bucket before the self-join: a
+    * web-scale corpus has mega-clusters of IDENTICAL documents (mirrors,
+    * boilerplate), and one bucket of b docs emits b²/2 candidates per band —
+    * the same quadratic failure `ngramJaccardPairs`' maxDf closes. A bucket
+    * over the cap is dropped (and counted in the
+    * `graft.minhash.hot_buckets_dropped` accumulator): its members are
+    * by construction near-identical, which is exact-dedup's job
+    * (`dedupExactSurvivors`), not LSH's. The default exceeds every test
+    * corpus's size, so results at test scale are provably identical to the
+    * uncapped join (OpsSpec pins this); maxBucket ≤ 0 disables the cap. */
   def minhashPairs(spark: SparkSession, docs: DataFrame,
-      k: Int = 64, bands: Int = 16, minSim: Double = 0.2): DataFrame = {
+      k: Int = 64, bands: Int = 16, minSim: Double = 0.2,
+      maxBucket: Int = 10000): DataFrame = {
     import spark.implicits._
     require(k % bands == 0)
     val rowsPerBand = k / bands
@@ -105,7 +137,13 @@ object TrainingOps {
       }
     }.toDF("band", "bhash", "doc_id")
 
-    val cands = banded.as("a").join(banded.as("b"),
+    val kept =
+      if (maxBucket > 0)
+        dropHotGroups(banded, Seq("band", "bhash"), maxBucket,
+          "graft.minhash.hot_buckets_dropped")
+      else banded
+
+    val cands = kept.as("a").join(kept.as("b"),
         col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -127,20 +165,33 @@ object TrainingOps {
   /** SimHash near-dup pairs: band the 64-bit fingerprint into 4×16-bit
     * chunks (any pair within hamming distance 3·16 shares ≥1 chunk ⇒ exact
     * recall for hd ≤ maxHamming when maxHamming < 4·... recall is exact for
-    * hd ≤ 3 with 4 chunks; wider hd trades recall). */
-  def simhashPairs(spark: SparkSession, docs: DataFrame, maxHamming: Int = 16): DataFrame = {
+    * hd ≤ 3 with 4 chunks; wider hd trades recall).
+    *
+    * `maxBucket` caps a (chunk, cval) bucket before the self-join — same
+    * mega-cluster-of-identical-docs quadratic exposure and same treatment
+    * as [[minhashPairs]]; dropped buckets are counted in the
+    * `graft.simhash.hot_buckets_dropped` accumulator. Default is a provable
+    * no-op below 10k docs sharing a chunk; ≤ 0 disables. */
+  def simhashPairs(spark: SparkSession, docs: DataFrame, maxHamming: Int = 16,
+      maxBucket: Int = 10000): DataFrame = {
     import spark.implicits._
     val fps = docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) => (id, simhash64(text)) }
       .toDF("doc_id", "fp")
 
-    val chunked = fps.select(col("doc_id"), col("fp"),
+    val chunked0 = fps.select(col("doc_id"), col("fp"),
         explode(array((0 until 4).map { c =>
           struct(lit(c).as("chunk"),
             shiftrightunsigned(col("fp"), c * 16).bitwiseAND(lit(0xffffL)).as("cval"))
         }: _*)).as("ch"))
       .select(col("doc_id"), col("fp"), col("ch.chunk"), col("ch.cval"))
+
+    val chunked =
+      if (maxBucket > 0)
+        dropHotGroups(chunked0, Seq("chunk", "cval"), maxBucket,
+          "graft.simhash.hot_buckets_dropped")
+      else chunked0
 
     chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
@@ -176,18 +227,21 @@ object TrainingOps {
       .flatMap { case (id, text) => shingles(text, n).iterator.map(s => (id, fnv1a64(s))) }
       .toDF("doc_id", "sh")
 
-    // With a cap, build posting lists per shingle (collect_list is bounded
-    // by maxDf entries per group) and explode ordered pairs from each list:
-    // one shuffle on the shingle key, the cap applied as a free size()
-    // filter, and the pair fan-out bounded at maxDf² per shingle. Without a
-    // cap, fall back to the streaming self-join (posting lists would be
-    // unbounded per-group memory); shingles() emits a set, so each
-    // (sh, doc) occurs once and duplicate-pair counts ARE |A∩B|.
+    // With a cap, prefilter hot shingles by df FIRST (a count aggregation —
+    // partial-agg safe, so the probe never materializes the hot posting
+    // list it exists to drop; dropped shingles are counted in the
+    // `graft.ngram.hot_shingles_dropped` accumulator), THEN build posting
+    // lists — collect_list is now provably bounded at maxDf entries — and
+    // explode ordered pairs from each list, fan-out bounded at df² per
+    // shingle. Without a cap, fall back to the streaming self-join (posting
+    // lists would be unbounded per-group memory); shingles() emits a set,
+    // so each (sh, doc) occurs once and duplicate-pair counts ARE |A∩B|.
     val (sizes, inter) =
       if (maxDf > 0) {
-        val kept = shAll.groupBy(col("sh"))
+        val kept = dropHotGroups(shAll, Seq("sh"), maxDf,
+            "graft.ngram.hot_shingles_dropped")
+          .groupBy(col("sh"))
           .agg(collect_list(col("doc_id")).as("docs"))
-          .where(size(col("docs")) <= maxDf)
         val sz = kept.select(explode(col("docs")).as("doc_id"))
           .groupBy(col("doc_id")).agg(count("*").as("sz"))
         val in = kept.select(col("docs")).as[Array[Long]]
@@ -291,15 +345,29 @@ object TrainingOps {
   }
 
   /** Scale path ANN: random-hyperplane LSH bucketing; probes the query's
-    * bucket plus all hamming-1 neighbor buckets. */
+    * bucket plus every bucket within hamming distance `probeHamming` of it
+    * (default 2 → 1 + n + n(n−1)/2 probes; at nPlanes=12 that is 79 of 4096
+    * buckets, ~2% of the corpus scanned).
+    *
+    * Regime note (gated in OpsSpec): hyperplane LSH recovers neighbors whose
+    * cosine is HIGH — P(bucket match) = (1 − θ/π)^nPlanes — so it is the
+    * near-duplicate / high-similarity tool. Over isotropic embeddings whose
+    * true top-k sits at cosine ≈ 0.3, no sublinear hash can beat the scanned
+    * volume fraction; for that regime use [[annIvfTopK]] (recall-gated on
+    * exactly such data) or [[cosineTopK]]. */
   def annLshTopK(spark: SparkSession, emb: DataFrame,
-      nPlanes: Int = 12, nQueries: Int = 8, k: Int = 5): DataFrame = {
+      nPlanes: Int = 12, nQueries: Int = 8, k: Int = 5,
+      probeHamming: Int = 2): DataFrame = {
     val sigged = hyperplaneBuckets(spark, emb, nPlanes)
 
     val embB = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
       .join(sigged, "vec_id")
-    // multiprobe: own bucket + every hamming-1 bucket (masks are literals)
-    val masks = lit(0) +: (0 until nPlanes).map(i => lit(1 << i))
+    // multiprobe: own bucket + hamming-1 (+ hamming-2) buckets as literals
+    val masks = (lit(0) +: (0 until nPlanes).map(i => lit(1 << i))) ++
+      (if (probeHamming >= 2)
+        for { i <- 0 until nPlanes; j <- i + 1 until nPlanes }
+          yield lit((1 << i) | (1 << j))
+      else Seq.empty)
     val queries = embB.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket").as("qbucket"))
       .withColumn("mask", explode(array(masks: _*)))
@@ -402,44 +470,114 @@ object TrainingOps {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Nearest centroid by cosine (ties → lowest cell id — argmax scan order
+    * is the centroid array order, which is stable). */
+  private[queries] def nearestCell(v: Array[Float], cents: Array[(Int, Array[Float])]): Int = {
+    var best = 0; var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val s = cosineF(v, cents(c)._2)
+      if (s > bestSim) { bestSim = s; best = c }
+      c += 1
+    }
+    cents(best)._1
+  }
+
+  /** Deterministic k-means for the IVF coarse quantizer: seeded from the
+    * first `nCells` vec_ids (a fixed, data-derived init), refined by `iters`
+    * Lloyd steps. Each step is one NARROW assignment map over the broadcast
+    * centroids plus one tiny reduceGroups shuffle (map-side partial
+    * reduction; ≤ nCells groups survive), and the only driver-side read is
+    * the nCells centroid rows — parameter-bounded, never data-bounded.
+    *
+    * Component sums are accumulated as fixed-point longs (×2^20): float/
+    * double addition is not associative, so a floating sum would make the
+    * centroids — and every downstream cell assignment — depend on Spark's
+    * reduction order. Long addition is exactly associative, so the index is
+    * bit-identical at any parallelism (the engine-wide no-nondeterminism
+    * invariant). Empty cells keep their previous centroid. */
+  private[queries] def lloydCentroids(spark: SparkSession, emb: DataFrame,
+      nCells: Int, iters: Int = 3): Array[(Int, Array[Float])] = {
+    import spark.implicits._
+    val Quant = (1 << 20).toDouble
+    val vecs = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+    var cents: Array[(Int, Array[Float])] = vecs
+      .filter(_._1 < nCells).collect()
+      .sortBy(_._1).zipWithIndex
+      .map { case ((_, v), i) => (i, v) }
+    var it = 0
+    while (it < iters) {
+      val bCents = spark.sparkContext.broadcast(cents)
+      val updates = vecs
+        .map { case (_, v) =>
+          val cell = nearestCell(v, bCents.value)
+          val q = new Array[Long](v.length)
+          var i = 0
+          while (i < v.length) { q(i) = math.round(v(i).toDouble * Quant); i += 1 }
+          (cell, q, 1L)
+        }
+        .groupByKey(_._1)
+        .reduceGroups { (x, y) =>
+          val n = math.max(x._2.length, y._2.length)
+          val out = new Array[Long](n)
+          var i = 0
+          while (i < n) {
+            out(i) = (if (i < x._2.length) x._2(i) else 0L) +
+              (if (i < y._2.length) y._2(i) else 0L)
+            i += 1
+          }
+          (x._1, out, x._3 + y._3)
+        }
+        .collect() // ≤ nCells rows — parameter-bounded
+      val updated = updates.map { case (cell, (_, sums, n)) =>
+        cell -> sums.map(s => (s / n / Quant).toFloat)
+      }.toMap
+      cents = cents.map { case (c, old) => (c, updated.getOrElse(c, old)) }
+      it += 1
+    }
+    cents
+  }
+
+  /** Cell-occupancy histogram of the IVF index — the balance audit behind
+    * the nProbe/nCells cost model (a probe scans corpus·nProbe/nCells only
+    * if cells are roughly even). */
+  def ivfCellHistogram(spark: SparkSession, emb: DataFrame,
+      nCells: Int = 16, iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val bCents = spark.sparkContext.broadcast(lloydCentroids(spark, emb, nCells, iters))
+    emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (_, v) => nearestCell(v, bCents.value) }
+      .toDF("cell")
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .orderBy(col("cell"))
+  }
+
   /** IVF (inverted-file) ANN: coarse-quantize the corpus to `nCells`
-    * deterministic centroids (the first nCells vec_ids — a fixed-seed sample
-    * standing in for k-means, which would be iterative groupBy/avg here),
-    * build the inverted lists, probe the `nProbe` nearest cells per query.
+    * deterministic k-means centroids ([[lloydCentroids]]), build the
+    * inverted lists, probe the `nProbe` nearest cells per query.
     *
     * Cell assignment is a NARROW typed map over a broadcast centroid array —
     * zero shuffle, no full-table driver action (round 1 used a count() to
     * size cells plus a crossJoin×window argmin, shuffling n×nCells rows).
-    * The only driver-side read is the nCells centroid rows themselves — the
-    * build side of a broadcast, bounded by the parameter, not the data.
-    * The scan is corpus_size × nProbe / nCells — the standard IVF cost
-    * model; at 100 TB the lists are the partition keys so a probe touches
-    * only its cells' partitions. */
+    * The only driver-side reads are the nCells centroid rows per Lloyd step
+    * — the build side of a broadcast, bounded by the parameter, not the
+    * data. The scan is corpus_size × nProbe / nCells — the standard IVF
+    * cost model; at 100 TB the lists are the partition keys so a probe
+    * touches only its cells' partitions. Recall@k vs the exact
+    * [[cosineTopK]] ground truth is gated in OpsSpec. */
   def annIvfTopK(spark: SparkSession, emb: DataFrame,
       nCells: Int = 16, nProbe: Int = 4, nQueries: Int = 8, k: Int = 5): DataFrame = {
     import spark.implicits._
-    val cents: Array[(Int, Array[Float])] = emb
-      .where(col("vec_id").cast("long") < nCells)
-      .select(col("vec_id").cast("long"), col("embedding"))
-      .as[(Long, Array[Float])].collect()
-      .sortBy(_._1).zipWithIndex
-      .map { case ((_, v), i) => (i, v) }
+    val cents = lloydCentroids(spark, emb, nCells)
     val bCents = spark.sparkContext.broadcast(cents)
 
     // assign: argmax over broadcast centroids inside a narrow typed map
     val assigned = emb.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
-      .map { case (id, v) =>
-        val cs = bCents.value
-        var best = 0; var bestSim = Double.NegativeInfinity
-        var c = 0
-        while (c < cs.length) {
-          val s = cosineF(v, cs(c)._2)
-          if (s > bestSim) { bestSim = s; best = c }
-          c += 1
-        }
-        (id, v, best)
-      }.toDF("vec_id", "embedding", "cell")
+      .map { case (id, v) => (id, v, nearestCell(v, bCents.value)) }
+      .toDF("vec_id", "embedding", "cell")
 
     // probe lists: nProbe best cells per query, local top-n in the same map
     val probes = emb.where(col("vec_id").cast("long") < nQueries)

@@ -49,4 +49,24 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.sql("DROP TABLE IF EXISTS bkt_b")
     }
   }
+
+  test("j8_bucketed_join query: merge join over bucketed facts has no shuffle on the join key") {
+    val df = SparkEntry.queries("j8_bucketed_join")(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // keep only the FINAL adaptive plan — AQE appends an "Initial Plan"
+    // echo that would re-print the aggregation exchanges below the join
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val smj = plan.indexOf("SortMergeJoin")
+    assert(smj >= 0, s"expected a merge join:\n$plan")
+    // the plan prints parents above children: exchanges for the post-join
+    // aggregation appear BEFORE the join node; nothing below the join (its
+    // scan-side subtree) may shuffle — bucketing co-located both sides
+    assert(!plan.substring(smj).contains("Exchange"),
+      s"bucketed join still shuffles its inputs:\n$plan")
+    assert(plan.substring(smj).contains("SelectedBucketsCount"),
+      s"scan is not bucket-aware:\n$plan")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+  }
 }

@@ -160,4 +160,34 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rep.docsIn == 2)
     assert(rep.docsOut + rep.quarantined == 2)
   }
+
+  test("mega-doc guard: oversize docs land in quarantine explicitly, conservation holds") {
+    import spark.implicits._
+    val in = s"$base/in_mega"
+    // over the span-count budget (tiny spans, many of them)
+    val manySpans = Vector.tabulate(graft.core.Spec.MaxDocSpans + 1)(i =>
+      graft.core.Span("pdf_block", s"p=1;y=$i;x=0|t", "", i))
+    // over the byte budget but under the span-count budget AND under the
+    // per-span MaxSpanChars clip — only the doc-level guard can catch it
+    val fat = "x" * 50000
+    val fatSpans = Vector.tabulate(200)(i =>
+      graft.core.Span("pdf_block", s"p=1;y=$i;x=0|" + fat, "", i))
+    assert(fatSpans.length < graft.core.Spec.MaxDocSpans)
+    assert(fatSpans.map(_.text.length.toLong).sum > graft.core.Spec.MaxDocChars)
+    val docs = Seq(
+      graft.core.Doc("mega_spans", manySpans),
+      graft.core.Doc("mega_chars", fatSpans),
+      graft.core.Doc("ok", Vector(graft.core.Span("pdf_block", "p=1;y=0;x=0|fine", "", 0))))
+    spark.createDataset(docs).write.mode("overwrite").parquet(in)
+
+    val rep = ExtractJob.run(spark, in, s"$base/out_mega", "rm", 4)
+    assert(rep.docsIn == 3 && rep.docsOut == 1 && rep.quarantined == 2)
+    val q = ExtractJob.readQuarantine(spark, s"$base/out_mega").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(q.keySet == Set("mega_spans", "mega_chars"))
+    assert(q.values.forall(_.startsWith("oversize_doc")), q.toString)
+    assert(ExtractJob.readSpans(spark, s"$base/out_mega").collect().map(_.doc_id).toSeq == Seq("ok"))
+    val lin = ExtractJob.readLineage(spark, s"$base/out_mega").collect()
+    assert(lin.map(_.docs_in).sum == 3 && lin.map(_.docs_out).sum == 1)
+  }
 }

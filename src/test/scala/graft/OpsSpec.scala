@@ -88,6 +88,41 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nd.exists(p => p._3 > 0.5 && p._3 < 1.0), s"near-dup: $nd")
   }
 
+  test("minhash/simhash hot-bucket cap: default is a no-op; mega-cluster of 10k identical docs stays bounded") {
+    import spark.implicits._
+    // default cap (10000) can never trigger below 10k docs ⇒ identical output
+    val mhCap = TrainingOps.minhashPairs(spark, docsDf, minSim = 0.05)
+      .collect().map(_.toSeq).toSeq
+    val mhOff = TrainingOps.minhashPairs(spark, docsDf, minSim = 0.05, maxBucket = 0)
+      .collect().map(_.toSeq).toSeq
+    assert(mhCap == mhOff && mhCap.nonEmpty)
+    val shCap = TrainingOps.simhashPairs(spark, docsDf, maxHamming = 8)
+      .collect().map(_.toSeq).toSeq
+    val shOff = TrainingOps.simhashPairs(spark, docsDf, maxHamming = 8, maxBucket = 0)
+      .collect().map(_.toSeq).toSeq
+    assert(shCap == shOff && shCap.nonEmpty)
+
+    // adversarial web-scale shape: 10k IDENTICAL docs → every band/chunk is
+    // one bucket of 10k → uncapped would enumerate 16·10k²/2 (resp. 4·10k²/2)
+    // candidates; the cap drops the hot buckets so the job completes with
+    // zero pairs (identical docs are exact-dedup's job, not LSH's)
+    val mega = spark.range(0, 10000)
+      .select(col("id").as("doc_id"),
+        lit("the same boilerplate mirror page body text").as("text"))
+    assert(TrainingOps.minhashPairs(spark, mega, minSim = 0.05, maxBucket = 100).count() == 0)
+    assert(TrainingOps.simhashPairs(spark, mega, maxHamming = 8, maxBucket = 100).count() == 0)
+
+    // mixed corpus: the hot cluster is dropped, unrelated near-dup survives
+    val mixed = docsDf.select(col("doc_id"), col("text"))
+      .union(spark.range(100, 150).select(col("id").as("doc_id"),
+        lit("an unrelated boilerplate footer repeated verbatim").as("text")))
+    val pairs = TrainingOps.minhashPairs(spark, mixed, minSim = 0.05, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.contains((0L, 4L)), s"non-hot exact dup must survive the cap: $pairs")
+    assert(!pairs.exists(p => p._1 >= 100 || p._2 >= 100),
+      s"hot cluster must be dropped: $pairs")
+  }
+
   test("ngram jaccard df-cap: default is a no-op; low cap defuses a boilerplate shingle") {
     import spark.implicits._
     // default cap (10000) can never trigger below 10k docs ⇒ identical output
@@ -159,6 +194,74 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()
     assert(r.nonEmpty && r.forall(_.getLong(0) == 0L))
     assert(r.map(_.getLong(2)).toSeq == (1L to r.length).toSeq) // dense ranks
+  }
+
+  // real driver-generated embeddings (500 vecs × 64 dims) — the recall gate
+  // runs against the same table the driver verifies on
+  private lazy val realEmb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def topKSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  private def recallAt(exact: Map[Long, Set[Long]], ann: Map[Long, Set[Long]]): Double =
+    exact.map { case (q, t) => ann.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+      .sum / exact.size
+
+  test("ANN recall gate: IVF recall@5 >= 0.8 on the unstructured driver embeddings") {
+    // the driver's embeddings are isotropic (true top-5 at cosine ≈ 0.3) —
+    // the hard regime; IVF still reaches the gate at defaults because the
+    // Lloyd cells bend toward the data and nProbe/nCells scans 1/4 of it
+    val exact = topKSets(TrainingOps.cosineTopK(spark, realEmb))
+    val rIvf = recallAt(exact, topKSets(TrainingOps.annIvfTopK(spark, realEmb)))
+    val rLsh = recallAt(exact, topKSets(TrainingOps.annLshTopK(spark, realEmb)))
+    info(f"recall@5 at defaults on isotropic data: ivf=$rIvf%.3f (gated), lsh=$rLsh%.3f (FYI)")
+    assert(rIvf >= 0.8, f"IVF recall@5 $rIvf%.3f below gate")
+  }
+
+  test("ANN recall gate: LSH recall@5 >= 0.8 in its high-cosine (near-dup) regime") {
+    // hyperplane LSH's collision probability is (1 − θ/π)^nPlanes — it is
+    // the HIGH-similarity tool; over isotropic data no sublinear hash can
+    // beat the scanned-volume fraction (measured ~0.05 at defaults, see the
+    // FYI above), which is why this gate plants real near-duplicates:
+    // 5 jittered copies (cosine ≥ 0.99) of each of the 8 query vectors on
+    // top of the 500 driver embeddings
+    import spark.implicits._
+    val base = realEmb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val planted = base.flatMap { case (id, v) =>
+      val copies =
+        if (id < 8) (0 until 5).map { j =>
+          val w = v.zipWithIndex.map { case (x, d) =>
+            val h = scala.util.hashing.MurmurHash3.productHash((id, j, d))
+            x * (1f + 0.02f * ((h % 1000) / 1000f))
+          }
+          (1000L + id * 5 + j, w)
+        }
+        else Seq.empty
+      (id, v) +: copies
+    }.toSeq.toDF("vec_id", "embedding")
+    val exact = topKSets(TrainingOps.cosineTopK(spark, planted))
+    // sanity: the planted copies ARE the true top-5 of each query
+    assert(exact.forall { case (q, t) => t == (0 until 5).map(j => 1000L + q * 5 + j).toSet })
+    val rLsh = recallAt(exact, topKSets(TrainingOps.annLshTopK(spark, planted)))
+    info(f"LSH recall@5 on planted near-dups: $rLsh%.3f")
+    assert(rLsh >= 0.8, f"LSH recall@5 $rLsh%.3f below gate")
+  }
+
+  test("IVF Lloyd centroids: deterministic, all cells occupied, occupancy balanced") {
+    val h1 = TrainingOps.ivfCellHistogram(spark, realEmb, nCells = 8)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val h2 = TrainingOps.ivfCellHistogram(spark, realEmb, nCells = 8)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(h1 == h2, "fixed-point sums must make k-means order-independent")
+    info(s"cell occupancy: $h1")
+    assert(h1.map(_._1) == (0 until 8), "every cell must be occupied")
+    val counts = h1.map(_._2)
+    val mean = counts.sum.toDouble / counts.length
+    assert(counts.max <= 4 * mean,
+      s"cell skew breaks the nProbe/nCells cost model: max=${counts.max} mean=$mean")
   }
 
   // ------------------------------------------------------------ multimodal
@@ -324,6 +427,17 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the array-typed export face stays available to library users
     val aliases = EntityLink.aliasSets(spark, 50)
     assert(aliases.schema("aliases").dataType.typeName == "array")
+  }
+
+  test("co-occurrence edges carry the reference entity_links shape: relation + evidence") {
+    val edges = EntityLink.cooccurrence(spark, 60, minDocs = 1)
+    assert(edges.columns.toSeq ==
+      Seq("type_a", "norm_a", "type_b", "norm_b", "relation", "n_docs", "evidence_doc"))
+    val rows = edges.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("relation") == "co_mentioned"))
+    // evidence_doc is a real witnessing doc id from the generated corpus
+    assert(rows.forall(_.getAs[String]("evidence_doc").nonEmpty))
   }
 
   // ----------------------------------------------------- driver contract
