@@ -78,8 +78,13 @@ object Bench {
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_EXTRACT_DOCS", "300000").toLong
     val parts = sys.env.getOrElse("SPARK_GRAFT_EXTRACT_PARTS", "128").toInt
     // 2 interleaved passes + the page-in pre-pass = 3 min-samples per
-    // level; keeps the whole bench (queries + 300k-doc extraction) ~7 min
+    // level; keeps the whole bench (queries + 300k-doc extraction) ~8 min
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // the query surface gets the same min-of-reps discipline as the
+    // criterion pair (round 2 recorded single samples, and a host-steal
+    // wave read as a uniform 2× "regression" on queries whose plans had
+    // not changed — VERDICT r2); rep 1 doubles as the warm pass
+    val queryReps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "2").toInt
 
     // ---- section 1: query surface at all cores ------------------------
     var spark = session(cpusMax, 32)
@@ -92,11 +97,19 @@ object Bench {
       try time(SparkEntry.queries("q1_agg")(spark, sfDir)
         .write.mode("overwrite").format("noop").save())
       catch { case _: Throwable => () }
-    val results = queriesToRun.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val sec = try {
-        time(fn(spark, sfDir).write.mode("overwrite").format("noop").save())
-      } catch { case _: Throwable => -1.0 }
-      name -> sec
+    val sortedQueries = queriesToRun.toSeq.sortBy(_._1)
+    val passSecs: Seq[Seq[Double]] = (1 to math.max(1, queryReps)).map { p =>
+      val secs = sortedQueries.map { case (_, fn) =>
+        try time(fn(spark, sfDir).write.mode("overwrite").format("noop").save())
+        catch { case _: Throwable => -1.0 }
+      }
+      System.err.println(f"BENCH_QUERY_PASS $p total=${secs.filter(_ >= 0).sum}%.1f")
+      secs
+    }
+    // per-query MIN of the successful reps (an error in every rep stays -1)
+    val results = sortedQueries.map(_._1).zipWithIndex.map { case (name, i) =>
+      val ok = passSecs.map(_(i)).filter(_ >= 0)
+      name -> (if (ok.isEmpty) -1.0 else ok.min)
     }
     // 2 decimals: the one stdout JSON line must fit the driver's finite
     // tail-capture window (round 1's 2.5 kB line was truncated mid-JSON and
@@ -116,7 +129,7 @@ object Bench {
     // kernel-writeback waves doubling individual runs) is noise the
     // criterion should not include. /dev/shm emulates per-executor storage
     // bandwidth that scales with the level.
-    val extractJson = try {
+    val extract: Either[String, ExtractStats] = try {
       val shm = java.nio.file.Paths.get("/dev/shm")
       val base = (if (java.nio.file.Files.isDirectory(shm))
         Files.createTempDirectory(shm, "graftbench")
@@ -198,12 +211,15 @@ object Bench {
       val secN = (tN0 +: passes.map(_._1)).min
       val sec4N = (t4N0 +: passes.map(_._2)).min
 
-      // the all-cores figure is informational (not the criterion) — one
-      // short-lived child, 1 warm + 2 runs
+      // The all-cores figure is informational (not the criterion), but it
+      // must not be a single steal-polluted sample: round 2 shipped
+      // docs_per_sec_max = 14,949 from a min-of-2 (recorded clean range
+      // 32k–53k) and the headline read as "slower with more cores". One
+      // short-lived child, 1 warm + page-in pre-pass + 3 measured, min.
       val secMax =
         if (cpusMax != cpus4N) {
           val m = new Level(cpusMax, "max", 1)
-          val t = math.min(m.run(0), m.run(1)); m.close(); t
+          val t = (0 to 3).map(m.run).min; m.close(); t
         } else sec4N
 
       // free the memory-backed working set (repeated runs would otherwise
@@ -214,41 +230,55 @@ object Bench {
           .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
       } catch { case _: Throwable => () }
 
-      val dpsN = nDocs / secN
-      val dps4N = nDocs / sec4N
-      val eff = dps4N / ((cpus4N.toDouble / cpusN) * dpsN)
-      f"""{"docs":$nDocs,"partitions":$parts,"reps":$reps,"cores_n":$cpusN,"cores_4n":$cpus4N,"cores_max":$cpusMax,""" +
-        f""""sec_n":$secN%.3f,"sec_4n":$sec4N%.3f,"sec_max":$secMax%.3f,""" +
-        f""""docs_per_sec_n":$dpsN%.1f,"docs_per_sec_4n":$dps4N%.1f,""" +
-        f""""docs_per_sec_max":${nDocs / secMax}%.1f,""" +
-        f""""scaling_efficiency":$eff%.3f}"""
+      Right(ExtractStats(nDocs, parts, reps, cpusN, cpus4N, cpusMax, secN, sec4N, secMax))
     } catch {
-      case e: Throwable => "{\"error\":\"" + String.valueOf(e.getMessage).take(200)
-        .replaceAll("[\"\\\\\n\r\t]", " ") + "\"}"
+      case e: Throwable => Left(String.valueOf(e.getMessage).take(200)
+        .replaceAll("[\"\\\\\n\r\t]", " "))
     }
 
-    def field(name: String): String = extractJson match {
-      case s if s.contains("\"" + name + "\":") =>
-        s.split("\"" + name + "\":")(1).split("[,}]")(0)
-      case _ => "-1"
-    }
+    // detail + stdout JSON are both rendered from the SAME computed values
+    // (round 2 re-parsed the serialized detail string with a naive split —
+    // a suffix-colliding key would have silently shipped the wrong number)
+    val extractJson = extract.fold(err => s"""{"error":"$err"}""", _.detailJson)
 
     // Full detail (extract section + 3-decimal query timings) → side file +
     // stderr; stdout carries exactly ONE compact JSON line, printed last.
-    val detail = s"""{"extract":$extractJson,"queries":$queriesJsonFull,""" +
+    val detail = s"""{"extract":$extractJson,"query_reps":$queryReps,""" +
+      s""""queries":$queriesJsonFull,""" +
       f""""queries_total_sec":$totalSec%.3f,"sf":"$sfDir"}"""
     try Files.writeString(java.nio.file.Paths.get("BENCH_DETAILS.json"), detail + "\n")
     catch { case _: Throwable => () }
     System.err.println(detail)
 
+    val head = extract match {
+      case Right(s) =>
+        f""""value":${s.dps4N}%.1f,"scaling_efficiency":${s.eff}%.3f,""" +
+          f""""cores_n":${s.coresN},"cores_4n":${s.cores4N},""" +
+          f""""docs_per_sec_n":${s.dpsN}%.1f,"docs_per_sec_max":${s.dpsMax}%.1f,""" +
+          f""""cores_max":${s.coresMax},"docs":${s.docs}"""
+      case Left(_) =>
+        s""""value":-1,"scaling_efficiency":-1,"cores_n":$cpusN,"cores_4n":$cpus4N,""" +
+          s""""docs_per_sec_n":-1,"docs_per_sec_max":-1,"cores_max":$cpusMax,"docs":$nDocs"""
+    }
     println(
-      s"""{"metric":"docs_per_sec_4n","value":${field("docs_per_sec_4n")},"unit":"docs/sec",""" +
-      s""""scaling_efficiency":${field("scaling_efficiency")},""" +
-      s""""cores_n":${field("cores_n")},"cores_4n":${field("cores_4n")},""" +
-      s""""docs_per_sec_n":${field("docs_per_sec_n")},""" +
-      s""""docs_per_sec_max":${field("docs_per_sec_max")},"cores_max":${field("cores_max")},""" +
-      s""""docs":${field("docs")},""" +
+      s"""{"metric":"docs_per_sec_4n",$head,"unit":"docs/sec",""" +
       f""""queries_total_sec":$totalSec%.2f,"queries":$queriesJson,"sf":"$sfDir"}""")
     if (!spark.sparkContext.isStopped) spark.stop()
+  }
+
+  /** Extraction-section results; every serialization derives from here. */
+  final case class ExtractStats(
+      docs: Long, parts: Int, reps: Int,
+      coresN: Int, cores4N: Int, coresMax: Int,
+      secN: Double, sec4N: Double, secMax: Double) {
+    def dpsN: Double = docs / secN
+    def dps4N: Double = docs / sec4N
+    def dpsMax: Double = docs / secMax
+    def eff: Double = dps4N / ((cores4N.toDouble / coresN) * dpsN)
+    def detailJson: String =
+      f"""{"docs":$docs,"partitions":$parts,"reps":$reps,"cores_n":$coresN,"cores_4n":$cores4N,"cores_max":$coresMax,""" +
+        f""""sec_n":$secN%.3f,"sec_4n":$sec4N%.3f,"sec_max":$secMax%.3f,""" +
+        f""""docs_per_sec_n":$dpsN%.1f,"docs_per_sec_4n":$dps4N%.1f,""" +
+        f""""docs_per_sec_max":$dpsMax%.1f,"scaling_efficiency":$eff%.3f}"""
   }
 }
