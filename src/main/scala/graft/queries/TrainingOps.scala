@@ -18,7 +18,13 @@ import scala.util.hashing.MurmurHash3
   *    band keys; band width trades recall vs candidate volume;
   *  - exact-jaccard verification joins only the candidate set;
   *  - brute-force cosine is the small-query-set baseline (broadcast the
-  *    queries, never the corpus); the LSH bucket variant is the scale path.
+  *    queries, never the corpus); the LSH bucket variant is the scale path;
+  *  - every banded self-join is hot-bucket capped (mega-clusters of
+  *    identical documents would otherwise square a bucket's fan-out);
+  *  - lazy plans recompute the signature map once per self-join side — at
+  *    production scale, materialize the signature/banded table once
+  *    (TableIO.write) and run pair generation over the stored table; the
+  *    operators only require the expected columns, not a specific source.
   */
 object TrainingOps {
 
