@@ -548,6 +548,12 @@ object SparkEntry {
         |      WHEN avg_confidence >= 0.4 THEN 'possible'
         |      ELSE 'unresolved' END AS confidence_level
         |FROM d ORDER BY doc_id""".stripMargin,
+    // file listing via read_blob over the same directory the query scanned
+    // (__SF_DIR__ substituted by Verify at dump time)
+    "s4_dir_scan" ->
+      """SELECT regexp_extract(filename, '([^/]+)$', 1) AS file,
+        | size AS length
+        |FROM read_blob('__SF_DIR__/*.parquet') ORDER BY file""".stripMargin,
     "p1_ilike_search" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE lower(text) LIKE '%scan%' OR lower(source) LIKE '%rc1%'

@@ -41,7 +41,11 @@ object Verify {
     // Belt and braces for the driver's key lookup: every oracle is emitted
     // under both the bare name and a `<name>.parquet` alias, so the check
     // resolves whichever basename convention the driver globs.
+    // __SF_DIR__ resolves to the actual table directory at dump time — it
+    // lets file-listing oracles (read_blob globs) target the same dir the
+    // queries ran against; the dumped JSON is what the checker executes.
     val json = SparkEntry.oracleSql
+      .map { case (k, v) => k -> v.replace("__SF_DIR__", sfDir) }
       .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
