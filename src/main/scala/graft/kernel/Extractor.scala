@@ -89,6 +89,69 @@ object Extractor extends Serializable {
   private[graft] def exemptionTrigger(s: String): Boolean =
     s.contains("(b)(") || s.contains("(B)(")
 
+  @inline private def startsAt(s: String, i: Int, lit: String): Boolean = {
+    if (i + lit.length > s.length) false
+    else {
+      var j = 0
+      while (j < lit.length && s.charAt(i + j) == lit.charAt(j)) j += 1
+      j == lit.length
+    }
+  }
+
+  /** All 13 trigger gates (12 entity + exemption) in ONE pass over the text.
+    * Bit i == `entityTriggers(i)(s)`; bit 12 == `exemptionTrigger(s)` —
+    * equivalence property-fuzzed in KernelProps. The per-detector
+    * `String.contains` formulation re-scans the span up to 18×; this is the
+    * Aho-Corasick-style fusion of those literal searches (candidate first
+    * chars dispatch to short forward compares). Early-exits once every gate
+    * has fired. */
+  private[graft] def triggerMask(s: String): Int = {
+    val AllBits = 0x1FFF
+    var mask = 0
+    val n = s.length
+    var i = 0
+    while (i < n && mask != AllBits) {
+      s.charAt(i) match {
+        case '$' => mask |= 1 << 4 // MONEY
+        case '@' => mask |= 1 << 7 // EMAIL
+        case '(' =>
+          mask |= 1 << 6 // PHONE
+          // exemption literal "(b)(" / "(B)(":
+          if (i + 3 < n && (s.charAt(i + 1) == 'b' || s.charAt(i + 1) == 'B') &&
+            s.charAt(i + 2) == ')' && s.charAt(i + 3) == '(') mask |= 1 << 12
+        case '-' =>
+          mask |= (1 << 3) | (1 << 9) // DATE (ISO), CONTRACT_NUMBER
+          if (i + 3 < n && s.charAt(i + 1) == 'c' && s.charAt(i + 2) == 'v' &&
+            s.charAt(i + 3) == '-') mask |= 1 << 10 // CASE_NUMBER "-cv-"
+        case ',' =>
+          if (i + 1 < n && s.charAt(i + 1) == ' ') mask |= (1 << 2) | (1 << 3) // LOCATION, DATE
+        case '.' =>
+          if (i + 2 < n && s.charAt(i + 1) == ',' && s.charAt(i + 2) == ' ')
+            mask |= 1 << 8 // ADDRESS "., "
+        case 'M' =>
+          if (startsAt(s, i, "Mr.") || startsAt(s, i, "Ms.") || startsAt(s, i, "Mrs."))
+            mask |= 1 << 0 // PERSON
+        case 'D' =>
+          if (startsAt(s, i, "Dr.")) mask |= 1 << 0
+          else if (startsAt(s, i, "DOC-")) mask |= 1 << 5 // DOCUMENT_ID
+          else if (startsAt(s, i, "Department")) mask |= 1 << 1 // ORGANIZATION
+        case 'F' =>
+          if (startsAt(s, i, "FOI")) mask |= 1 << 11 // FOIA_TRACKING
+        case 'A' =>
+          if (startsAt(s, i, "Agency") || startsAt(s, i, "Administration")) mask |= 1 << 1
+        case 'B' =>
+          if (startsAt(s, i, "Bureau")) mask |= 1 << 1
+        case 'C' =>
+          if (startsAt(s, i, "Commission")) mask |= 1 << 1
+        case 'O' =>
+          if (startsAt(s, i, "Office")) mask |= 1 << 1
+        case _ =>
+      }
+      i += 1
+    }
+    mask
+  }
+
   private val anchorRe: Pattern = Pattern.compile("(?s)<a\\b[^>]*>(.*?)</a>")
 
   // ------------------------------------------------------------- primitives
@@ -161,6 +224,50 @@ object Extractor extends Serializable {
   private[graft] def cleanHtmlSlow(s: String): String = normWs(decodeEntities(stripTags(s)))
   private[graft] def cleanPlain(s: String): String = normWs(s)
 
+  private[graft] final case class CleanStats(
+      cleaned: String, words: Int, lines: Int, hasAnchor: Boolean)
+
+  /** cleanHtml + every per-span count scoreHtml needs, in the SAME pass:
+    * word count (separator spaces are exactly the ' ' chars this loop
+    * appends), raw newline count (all of them — including inside tags, to
+    * match `countChar(raw,'\n')`), and the `raw.contains("<a")` anchor
+    * probe (state-independent, matching indexOf semantics). The rare
+    * entity-decode branch recounts words after re-normalization.
+    * Output-equivalence to the unfused formulations is property-fuzzed. */
+  private[graft] def cleanHtmlScored(s: String): CleanStats = {
+    val sb = new java.lang.StringBuilder(s.length)
+    val n = s.length
+    var i = 0
+    var inTag = false
+    var pendingSpace = false
+    var hasAmp = false
+    var hasAnchor = false
+    var lines = 1
+    var spaces = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '\n') lines += 1
+      if (c == '<') {
+        if (i + 1 < n && s.charAt(i + 1) == 'a') hasAnchor = true
+        if (!inTag) inTag = true
+      } else if (inTag) { if (c == '>') inTag = false }
+      else if (Character.isWhitespace(c)) { if (sb.length() > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false; spaces += 1 }
+        if (c == '&') hasAmp = true
+        sb.append(c)
+      }
+      i += 1
+    }
+    if (hasAmp) {
+      val t = normWs(decodeEntities(sb.toString))
+      CleanStats(t, wordCount(t), lines, hasAnchor)
+    } else {
+      val t = sb.toString
+      CleanStats(t, if (t.isEmpty) 0 else spaces + 1, lines, hasAnchor)
+    }
+  }
+
   @inline private def countChar(s: String, c: Char): Int = {
     var n = 0; var i = 0
     while (i < s.length) { if (s.charAt(i) == c) n += 1; i += 1 }
@@ -176,18 +283,17 @@ object Extractor extends Serializable {
       cleaned: String, words: Int, linkDensity: Double, wordsPerLine: Double)
 
   private[graft] def scoreHtml(kind: String, raw: String): HtmlScore = {
-    val cleaned = cleanHtml(raw)
-    val words = wordCount(cleaned)
-    val lines = countChar(raw, '\n') + 1
+    val cs = cleanHtmlScored(raw)
+    val cleaned = cs.cleaned
     val linkDensity =
       if (kind == InKind.HtmlLink) 1.0
-      else if (cleaned.isEmpty || raw.indexOf("<a") < 0) 0.0
+      else if (cleaned.isEmpty || !cs.hasAnchor) 0.0
       else {
         val m = anchorRe.matcher(raw)
         val inners = Iterator.continually(m).takeWhile(_.find()).map(_.group(1)).toSeq
         cleanHtml(inners.mkString(" ")).length.toDouble / cleaned.length
       }
-    HtmlScore(cleaned, words, linkDensity, words.toDouble / lines)
+    HtmlScore(cleaned, cs.words, linkDensity, cs.words.toDouble / cs.lines)
   }
 
   private[graft] def survives(s: HtmlScore): Boolean =
@@ -197,45 +303,31 @@ object Extractor extends Serializable {
 
   // ------------------------------------------------------------ detections
 
-  /** find()-equivalent fast scanners for the detectors that dominate the
-    * profile (FastDetectors scaladoc); equivalence fuzzed in KernelProps. */
-  private val fastEntityScanners: Map[String, String => Seq[(Int, Int)]] = Map(
-    "PERSON" -> FastDetectors.personMatches,
-    "ORGANIZATION" -> FastDetectors.organizationMatches,
-    "DATE" -> FastDetectors.dateMatches,
-    "MONEY" -> FastDetectors.moneyMatches,
-    "DOCUMENT_ID" -> FastDetectors.documentIdMatches,
-    "PHONE" -> FastDetectors.phoneMatches,
-    "EMAIL" -> FastDetectors.emailMatches,
-    "ADDRESS" -> FastDetectors.addressMatches,
-    "LOCATION" -> FastDetectors.locationMatches,
-    "CONTRACT_NUMBER" -> FastDetectors.contractMatches,
-    "CASE_NUMBER" -> FastDetectors.caseNumberMatches,
-    "FOIA_TRACKING" -> FastDetectors.foiaMatches)
+  private lazy val entityKinds: IndexedSeq[String] =
+    Spec.EntityPatterns.toIndexedSeq.map(_._1)
 
   /** All detector matches over cleaned text, sorted by (start,end,detector).
-    * EXTRACTION_SPEC §3. */
+    * EXTRACTION_SPEC §3. Three fused passes end to end: the 13-gate trigger
+    * mask, the single-dispatch scan of every gated detector
+    * (`FastDetectors.allMatches` — find()-equivalent per detector, fuzzed in
+    * KernelProps), and the fused exemption scan. */
   private[graft] def detections(cleaned: String): Seq[Span] = {
     val hits = Seq.newBuilder[(Int, Int, Int, Span)]
-    var d = 0
-    var di = 0
-    entityDetectors.foreach { case (kind, p) =>
-      if (entityTriggers(di)(cleaned)) {
-        fastEntityScanners.get(kind) match {
-          case Some(scan) =>
-            scan(cleaned).foreach { case (s, e) =>
-              hits += ((s, e, d, Span(OutKind.entity(kind), cleaned.substring(s, e), "", 0)))
-            }
-          case None =>
-            val m = p.matcher(cleaned)
-            while (m.find()) hits += ((m.start, m.end, d, Span(OutKind.entity(kind), m.group(), "", 0)))
+    val mask = triggerMask(cleaned) // all 13 gates in one pass
+    if ((mask & 0xFFF) != 0) {
+      val per = FastDetectors.allMatches(cleaned, mask)
+      var d = 0
+      while (d < 12) {
+        val kind = entityKinds(d)
+        per(d).foreach { case (s, e) =>
+          hits += ((s, e, d, Span(OutKind.entity(kind), cleaned.substring(s, e), "", 0)))
         }
+        d += 1
       }
-      d += 1; di += 1
     }
-    if (exemptionTrigger(cleaned))
+    if ((mask >> 12 & 1) != 0)
       exemptionScan(cleaned).foreach { case (s, e, di, code) =>
-        hits += ((s, e, d + di, Span(OutKind.Redaction, code, "", 0)))
+        hits += ((s, e, 12 + di, Span(OutKind.Redaction, code, "", 0)))
       }
     hits.result().sortBy { case (s, e, i, _) => (s, e, i) }.map(_._4)
   }

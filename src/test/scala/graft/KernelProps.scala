@@ -188,6 +188,37 @@ object KernelProps extends Properties("kernel") {
       FastDetectors.addressMatches(t) == regexMatches(specPattern("ADDRESS"), t)
     }
 
+  property("fused single-dispatch scan == every standalone scanner (full mask)") =
+    forAll(detectorText) { t =>
+      val all = FastDetectors.allMatches(t, 0xFFF)
+      val standalone = IndexedSeq(
+        FastDetectors.personMatches(t), FastDetectors.organizationMatches(t),
+        FastDetectors.locationMatches(t), FastDetectors.dateMatches(t),
+        FastDetectors.moneyMatches(t), FastDetectors.documentIdMatches(t),
+        FastDetectors.phoneMatches(t), FastDetectors.emailMatches(t),
+        FastDetectors.addressMatches(t), FastDetectors.contractMatches(t),
+        FastDetectors.caseNumberMatches(t), FastDetectors.foiaMatches(t))
+      (0 until 12).forall(d => all(d) == standalone(d))
+    }
+
+  property("fused cleanHtmlScored == (cleanHtml, wordCount, line count, anchor probe)") =
+    forAll(anyText.map(t => if (t == null) "" else t)) { t =>
+      val cs = Extractor.cleanHtmlScored(t)
+      val cleaned = Extractor.cleanHtml(t)
+      val words = if (cleaned.isEmpty) 0 else cleaned.count(_ == ' ') + 1
+      cs.cleaned == cleaned &&
+        cs.words == words &&
+        cs.lines == t.count(_ == '\n') + 1 &&
+        cs.hasAnchor == (t.indexOf("<a") >= 0)
+    }
+
+  property("fused trigger mask == 13 per-detector contains-gates on adversarial inputs") =
+    forAll(Gen.oneOf(detectorText, anyText.map(t => if (t == null) "" else t))) { t =>
+      val mask = Extractor.triggerMask(t)
+      (0 until 12).forall(i => ((mask >> i & 1) != 0) == Extractor.entityTriggers(i)(t)) &&
+        ((mask >> 12 & 1) != 0) == Extractor.exemptionTrigger(t)
+    }
+
   property("fused exemption scan == 11 per-pattern scans on adversarial inputs") =
     forAll(Gen.choose(0, 10).flatMap(n => Gen.listOfN(n, Gen.oneOf(
       "(b)(1)", "(b)(7)(C)", "(B)(7)(c)", "(b)(7)", "(b)(8)", "(b)(7)(B)",
