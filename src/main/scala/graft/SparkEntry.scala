@@ -408,6 +408,12 @@ object SparkEntry {
 
     // ------------------------------------- training-data ops: dedup family
     "dd_exact_summary" -> ((s, d) => TrainingOps.dedupExactSummary(t(s, d, "documents"))),
+    "dd_exact_survivors" -> ((s, d) =>
+      TrainingOps.dedupExactSurvivors(t(s, d, "documents")).orderBy(col("doc_id"))),
+
+    // deterministic content-hash train/val/test split (dup-leakage-safe)
+    "ta_split_counts" -> ((s, d) => TrainingOps.splitAssign(s, t(s, d, "documents"))
+      .groupBy(col("split")).agg(count(lit(1)).as("n")).orderBy(col("split"))),
     "dd_minhash_pairs" -> ((s, d) => TrainingOps.minhashPairs(s, t(s, d, "documents"), minSim = 0.05)),
     "dd_simhash_pairs" -> ((s, d) => TrainingOps.simhashPairs(s, t(s, d, "documents"), maxHamming = 8)),
     "dd_ngram_jaccard" -> ((s, d) => TrainingOps.ngramJaccardPairs(s, t(s, d, "documents"), minJaccard = 0.02)),
@@ -711,6 +717,23 @@ object SparkEntry {
     "dd_exact_summary" ->
       """SELECT CAST(count(*) AS BIGINT) AS total_docs,
         | CAST(count(DISTINCT md5(text)) AS BIGINT) AS distinct_texts FROM documents""".stripMargin,
+    "dd_exact_survivors" ->
+      """SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS copies
+        |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+    // same HUGEINT FNV fold as cf_native_fnv; Java's pmod over the SIGNED
+    // view (2^64 is NOT divisible by 100, so the signed branch matters)
+    "ta_split_counts" ->
+      """WITH h AS (SELECT list_reduce(
+        |    list_prepend(14695981039346656037::HUGEINT,
+        |      [unicode(text[i])::HUGEINT for i in generate_series(1, length(text))]),
+        |    (a, b) -> (xor(a, b) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+        |  ) AS hu FROM documents),
+        |b AS (SELECT ((CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+        |    THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) % 100) + 100) % 100
+        |  AS bucket FROM h)
+        |SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+        |  ELSE 'test' END AS split, count(*) AS n
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "dd_embed_cosine" ->
       """SELECT vec_a, vec_b, sim FROM (
         | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -88,6 +88,23 @@ object TrainingOps {
       .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"), count("*").cast("long").as("copies"))
       .select(col("doc_id"), col("copies"))
 
+  /** Deterministic train/val/test assignment — the training-pipeline
+    * staple: bucket = pmod(fnv1a64(text), 100) over the CONTENT hash, so
+    * exact duplicates always land in the same split (no leakage across
+    * splits from dup copies) and the assignment reproduces across runs,
+    * engines, and corpus orderings. Narrow and codegen'd (the registered
+    * native [[graft.functions.Fnv1a64Expr]]) — zero shuffle. */
+  def splitAssign(spark: SparkSession, docs: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct + valPct < 100)
+    graft.functions.Fnv1a64Expr.register(spark)
+    val bucket = pmod(expr("fnv1a64(text)"), lit(100))
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
   // ---------------------------------------------------------- minhash LSH
 
   final case class Sig(doc_id: Long, sig: Array[Int])

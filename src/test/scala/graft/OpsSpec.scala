@@ -142,6 +142,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cold.count() == 0, "df-capped index drops the hot shingle before the self-join")
   }
 
+  test("deterministic split: content-hashed, dup-leakage-safe, reproducible") {
+    val a = TrainingOps.splitAssign(spark, docsDf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = TrainingOps.splitAssign(spark, docsDf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b && a.size == 5)
+    assert(a.values.forall(Set("train", "val", "test")))
+    // exact duplicates (docs 0 and 4 share text) MUST land in the same
+    // split — content hashing prevents dup leakage across splits
+    assert(a(0L) == a(4L))
+    // roughly proportional at corpus scale
+    val big = TrainingOps.splitAssign(spark,
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+      .groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = big.values.sum.toDouble
+    assert(big("train") / n > 0.6 && big("train") / n < 0.95, big.toString)
+    assert(big.getOrElse("val", 0L) + big.getOrElse("test", 0L) > 0)
+  }
+
   // ------------------------------------------------------------ embeddings
   private def embDf = {
     import spark.implicits._
