@@ -734,6 +734,98 @@ object SparkEntry {
         |SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
         |  ELSE 'test' END AS split, count(*) AS n
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Exact cross-engine reproduction of the MinHash+banded-LSH pipeline:
+    // scala.util.hashing.MurmurHash3.stringHash re-expressed as a UBIGINT
+    // mod-2^32 fold (mix/mixLast/finalization constants verbatim; validated
+    // against MurmurRef values), per-seed signature minima over SIGNED ints,
+    // band membership compared on the raw 4-slices (equal slices <=>
+    // equal band hashes modulo astronomically-unlikely collisions),
+    // est_jaccard = matches/64 (exact binary fraction in both engines).
+    "dd_minhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |docsh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |    ELSE list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |                        for i in generate_series(1, len(ws)-2)]) END) AS s
+        |  FROM toks),
+        |shd AS (SELECT DISTINCT s FROM docsh),
+        |prep AS (
+        |  SELECT s, length(s) AS n,
+        |    [ (unicode(s[2*j-1])::UBIGINT * 65536 + unicode(s[2*j])::UBIGINT)
+        |      for j in generate_series(1, length(s)//2) ] AS data,
+        |    CASE WHEN length(s) % 2 = 1 THEN unicode(s[length(s)])::UBIGINT ELSE NULL END AS tail
+        |  FROM shd),
+        |seeded AS (
+        |  SELECT s, n, data, tail, i AS seedix,
+        |    (i::UBIGINT * 2654435769::UBIGINT + 1) % 4294967296 AS seed
+        |  FROM prep, generate_series(0, 63) t(i)),
+        |mixed AS (
+        |  SELECT s, seedix, n, tail,
+        |    list_reduce(list_prepend(seed, data), (h, k) -> (((((((xor(h, (((((((((k * 3432918353::UBIGINT) % 4294967296)) * 32768::UBIGINT) % 4294967296 + ((((k * 3432918353::UBIGINT) % 4294967296)) // 131072::UBIGINT))) % 4294967296) * 461845907::UBIGINT) % 4294967296))) * 8192::UBIGINT) % 4294967296 + ((xor(h, (((((((((k * 3432918353::UBIGINT) % 4294967296)) * 32768::UBIGINT) % 4294967296 + ((((k * 3432918353::UBIGINT) % 4294967296)) // 131072::UBIGINT))) % 4294967296) * 461845907::UBIGINT) % 4294967296))) // 524288::UBIGINT))) % 4294967296) * 5 + 3864292196::UBIGINT) % 4294967296)) AS h0
+        |  FROM seeded),
+        |tl AS (SELECT s, seedix, n,
+        |  CASE WHEN tail IS NULL THEN h0 ELSE xor(h0, (((((((((tail * 3432918353::UBIGINT) % 4294967296)) * 32768::UBIGINT) % 4294967296 + ((((tail * 3432918353::UBIGINT) % 4294967296)) // 131072::UBIGINT))) % 4294967296) * 461845907::UBIGINT) % 4294967296)) END AS hh FROM mixed),
+        |f3 AS (SELECT s, seedix,
+        |  ((xor(h2, h2 // 8192) * 3266489909::UBIGINT) % 4294967296) AS h3 FROM (
+        |   SELECT s, seedix, ((xor(h1, h1 // 65536) * 2246822507::UBIGINT) % 4294967296) AS h2 FROM (
+        |    SELECT s, seedix, xor(hh, n::UBIGINT) AS h1 FROM tl))),
+        |hv AS (SELECT s, seedix,
+        |  CAST(CASE WHEN xor(h3, h3 // 65536) >= 2147483648::UBIGINT
+        |    THEN xor(h3, h3 // 65536)::HUGEINT - 4294967296
+        |    ELSE xor(h3, h3 // 65536)::HUGEINT END AS BIGINT) AS hs FROM f3),
+        |sig AS (
+        |  SELECT doc_id, list(min_h ORDER BY seedix) AS sig FROM (
+        |    SELECT d.doc_id, h.seedix, min(h.hs) AS min_h
+        |    FROM docsh d JOIN hv h ON d.s = h.s GROUP BY d.doc_id, h.seedix)
+        |  GROUP BY doc_id),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_filter(generate_series(1, 64), p -> a.sig[p] = b.sig[p])) AS DOUBLE) / 64
+        |      AS est_jaccard
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |  WHERE EXISTS (SELECT 1 FROM generate_series(0, 15) g(bd)
+        |    WHERE a.sig[4*bd+1:4*bd+4] = b.sig[4*bd+1:4*bd+4]))
+        |SELECT doc_a, doc_b, est_jaccard FROM cand
+        |WHERE est_jaccard >= 0.05 ORDER BY doc_a, doc_b""".stripMargin,
+    // SimHash: per-word FNV-1a64 (HUGEINT fold), 64 bit-votes, 16-bit-chunk
+    // blocking re-expressed as an any-chunk-equal predicate over the n²
+    // pair space (exact at oracle scale), hamming via bit_count on the
+    // signed view.
+    "dd_simhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |hs AS (
+        |  SELECT doc_id,
+        |    [list_reduce(list_prepend(14695981039346656037::HUGEINT,
+        |        [unicode(w[i])::HUGEINT for i in generate_series(1, length(w))]),
+        |      (a, b) -> (xor(a, b) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)
+        |     for w in ws] AS whs
+        |  FROM toks),
+        |fp AS (
+        |  SELECT doc_id,
+        |    list_sum([CASE WHEN list_sum([CASE WHEN (h // (1::HUGEINT << b)) % 2 = 1
+        |        THEN 1 ELSE -1 END for h in whs]) > 0
+        |      THEN (1::HUGEINT << b) ELSE 0::HUGEINT END
+        |      for b in generate_series(0, 63)])::HUGEINT AS f
+        |  FROM hs)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  bit_count(xor(
+        |    CAST(CASE WHEN a.f >= 9223372036854775808::HUGEINT
+        |      THEN a.f - 18446744073709551616::HUGEINT ELSE a.f END AS BIGINT),
+        |    CAST(CASE WHEN b.f >= 9223372036854775808::HUGEINT
+        |      THEN b.f - 18446744073709551616::HUGEINT ELSE b.f END AS BIGINT))) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE ((a.f // 1::HUGEINT) % 65536 = (b.f // 1::HUGEINT) % 65536
+        |    OR (a.f // 65536::HUGEINT) % 65536 = (b.f // 65536::HUGEINT) % 65536
+        |    OR (a.f // 4294967296::HUGEINT) % 65536 = (b.f // 4294967296::HUGEINT) % 65536
+        |    OR (a.f // 281474976710656::HUGEINT) % 65536 = (b.f // 281474976710656::HUGEINT) % 65536)
+        |  AND hamming <= 8
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "dd_embed_cosine" ->
       """SELECT vec_a, vec_b, sim FROM (
         | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
