@@ -513,7 +513,7 @@ object SparkEntry {
         .orderBy(col("n").desc, col("kind")).limit(20)
     }))
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = OracleAnn.entries ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
         | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
@@ -883,11 +883,12 @@ object SparkEntry {
         |  ELSE 'zh' END AS predicted
         |FROM c ORDER BY doc_id""".stripMargin,
     "sim_cosine_topk" ->
-      """SELECT query_id, neighbor_id, rank, sim FROM (
+      """SELECT query_id, neighbor_id, rank,
+        | floor(CAST(s AS DOUBLE) * 10000 + 0.5) / 10000 AS sim FROM (
         | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
         |  row_number() OVER (PARTITION BY q.vec_id
         |   ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS rank,
-        |  round(CAST(list_cosine_similarity(q.embedding, e.embedding) AS DOUBLE), 4) AS sim
+        |  list_cosine_similarity(q.embedding, e.embedding) AS s
         | FROM embeddings q JOIN embeddings e ON q.vec_id < 8 AND e.vec_id != q.vec_id)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "ta_token_counts" ->

@@ -317,16 +317,21 @@ object TrainingOps {
         cosine(col("qe"), col("embedding")).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
+    // floor-based half-up 4dp: identical IEEE ops in Spark and DuckDB.
+    // Spark's round() rounds the shortest-decimal repr, DuckDB the binary
+    // value — they disagree on exact .xxxx5 quotients, which QUANTIZED
+    // feature vectors (mm_feature_ann) actually hit.
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("sim"), 4).as("sim"))
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        (floor(col("sim") * 1e4 + 0.5) / 1e4).as("sim"))
       .orderBy(col("query_id"), col("rank"))
   }
 
   /** Deterministic random-hyperplane bucket signature per vector (shared by
     * the ANN and near-dup scale paths). Weights are a pure function of
     * (plane, dim) — no RNG at job time. */
-  private[queries] def hyperplaneBuckets(spark: SparkSession, emb: DataFrame,
+  private[graft] def hyperplaneBuckets(spark: SparkSession, emb: DataFrame,
       nPlanes: Int): DataFrame = {
     import spark.implicits._
     val planes: Array[Array[Double]] = Array.tabulate(nPlanes, 64) { (p, d) =>
@@ -519,7 +524,7 @@ object TrainingOps {
     * reduction order. Long addition is exactly associative, so the index is
     * bit-identical at any parallelism (the engine-wide no-nondeterminism
     * invariant). Empty cells keep their previous centroid. */
-  private[queries] def lloydCentroids(spark: SparkSession, emb: DataFrame,
+  private[graft] def lloydCentroids(spark: SparkSession, emb: DataFrame,
       nCells: Int, iters: Int = 3): Array[(Int, Array[Float])] = {
     import spark.implicits._
     val Quant = (1 << 20).toDouble
