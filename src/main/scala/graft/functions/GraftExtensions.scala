@@ -24,5 +24,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "fnv1a64 takes exactly one argument")
         Fnv1a64Expr(args.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cosine_sim takes exactly two arguments")
+        CosineSimExpr(args.head, args(1))
+      }))
   }
 }

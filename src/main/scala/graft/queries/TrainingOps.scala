@@ -296,7 +296,10 @@ object TrainingOps {
 
   // --------------------------------------------------- similarity search
 
-  private def cosine(a: Column, b: Column): Column = {
+  /** Higher-order-function formulation, kept for equivalence testing
+    * (FunctionsSpec pins it IEEE-identical to the native expression):
+    * interpreted lambda dispatch per element makes it the slow path. */
+  private[graft] def cosineHof(a: Column, b: Column): Column = {
     val ad = transform(a, x => x.cast("double"))
     val bd = transform(b, x => x.cast("double"))
     val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
@@ -305,11 +308,18 @@ object TrainingOps {
     dot / (na * nb)
   }
 
+  /** Production cosine: the codegen'd native expression (§2.9 ladder —
+    * same IEEE op order as cosineHof/cosineF, so swapping changes no
+    * result, including the DuckDB-oracled ANN queries). */
+  private def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimExpr(a, b)
+
   /** Brute-force cosine top-k: broadcast the (small) query set against the
     * corpus; per-query top-k via window. The baseline an IVF/LSH variant is
     * judged against. */
   def cosineTopK(spark: SparkSession, emb: DataFrame,
       nQueries: Int = 8, k: Int = 5): DataFrame = {
+    graft.functions.CosineSimExpr.register(spark)
     val queries = emb.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
@@ -362,6 +372,7 @@ object TrainingOps {
     * (fewer planes = bigger buckets = higher recall, more candidates). */
   def embedCosinePairsLsh(spark: SparkSession, emb: DataFrame,
       minSim: Double = 0.95, nPlanes: Int = 8): DataFrame = {
+    graft.functions.CosineSimExpr.register(spark)
     val sigged = hyperplaneBuckets(spark, emb, nPlanes)
     val e = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
       .join(sigged, "vec_id")
@@ -386,6 +397,7 @@ object TrainingOps {
   def annLshTopK(spark: SparkSession, emb: DataFrame,
       nPlanes: Int = 12, nQueries: Int = 8, k: Int = 5,
       probeHamming: Int = 2): DataFrame = {
+    graft.functions.CosineSimExpr.register(spark)
     val sigged = hyperplaneBuckets(spark, emb, nPlanes)
 
     val embB = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
@@ -489,7 +501,7 @@ object TrainingOps {
 
   /** Shared primitive: cosine between two float vectors (tight loop — used
     * inside typed maps where the expression form would be interpreted). */
-  private[queries] def cosineF(a: Array[Float], b: Array[Float]): Double = {
+  private[graft] def cosineF(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     val n = math.min(a.length, b.length)
     while (i < n) { dot += a(i).toDouble * b(i); i += 1 }
@@ -597,6 +609,7 @@ object TrainingOps {
     * [[cosineTopK]] ground truth is gated in OpsSpec. */
   def annIvfTopK(spark: SparkSession, emb: DataFrame,
       nCells: Int = 16, nProbe: Int = 4, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    graft.functions.CosineSimExpr.register(spark)
     import spark.implicits._
     val cents = lloydCentroids(spark, emb, nCells)
     val bCents = spark.sparkContext.broadcast(cents)

@@ -20,6 +20,51 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def beforeAll(): Unit = spark.sparkContext.setLogLevel("ERROR")
   override def afterAll(): Unit = spark.stop()
 
+  test("cosine_sim native expression == HOF formulation == kernel loop, bit for bit") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import graft.functions.CosineSimExpr
+    CosineSimExpr.register(spark)
+    // deterministic vectors incl. length mismatch, empty, negatives
+    val vecs: Seq[(Array[Float], Array[Float])] = Seq(
+      (Array(1f, 2f, 3f), Array(4f, 5f, 6f)),
+      (Array(0.1f, -0.2f, 0.3f, 0.4f), Array(-0.4f, 0.3f, 0.2f)), // len mismatch
+      (Array.tabulate(64)(i => math.sin(i * 0.7).toFloat),
+        Array.tabulate(64)(i => math.cos(i * 1.3).toFloat)),
+      (Array(1e-8f, 1e8f), Array(1e8f, 1e-8f)))
+    val df = vecs.toDF("a", "b")
+    val rows = df.select(
+        CosineSimExpr(col("a"), col("b")).as("native"),
+        graft.queries.TrainingOps.cosineHof(col("a"), col("b")).as("hof"))
+      .collect()
+    rows.zip(vecs).foreach { case (r, (a, b)) =>
+      val native = r.getDouble(0)
+      val kernel = graft.queries.TrainingOps.cosineF(a, b)
+      // the native expression IS the kernel formula (min-length dot)
+      assert(native == kernel || (native.isNaN && kernel.isNaN),
+        s"native=$native kernel=$kernel for ${a.toSeq}/${b.toSeq}")
+      if (a.length == b.length) {
+        // on equal dims (every real embedding table) all three agree bit
+        // for bit; on mismatched dims zip_with nulls the padded tail, so
+        // the HOF column is NULL there — a latent asymmetry the native
+        // expression removes by matching the kernel loop
+        val hof = r.getDouble(1)
+        assert(native == hof || (native.isNaN && hof.isNaN),
+          s"native=$native hof=$hof for ${a.toSeq}/${b.toSeq}")
+      } else assert(r.isNullAt(1))
+    }
+    // null propagation through the SQL surface
+    val n = Seq((Some(Array(1f, 2f)), Option.empty[Array[Float]]))
+      .toDF("a", "b").selectExpr("cosine_sim(a, b) AS s").collect()
+    assert(n.head.isNullAt(0))
+    // zero vector: native yields NaN (0/0 in Java) where the HOF Column
+    // division would raise under ANSI mode — strictly more robust
+    val z = Seq((Array(0f, 0f), Array(1f, 2f)))
+      .toDF("a", "b").selectExpr("cosine_sim(a, b) AS s").collect()
+    assert(z.head.getDouble(0).isNaN)
+    assert(graft.queries.TrainingOps.cosineF(Array(0f, 0f), Array(1f, 2f)).isNaN)
+  }
+
   test("fnv1a64 native expression: codegen path matches reference impl and TrainingOps") {
     import spark.implicits._
     Fnv1a64Expr.register(spark)
