@@ -53,7 +53,7 @@ object OracleAnn {
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
         |  FROM cands)
         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
-        |  round(CAST(sim AS DOUBLE), 4) AS sim
+        |  floor(CAST(sim AS DOUBLE) * 10000 + 0.5) / 10000 AS sim
         |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "dd_embed_lsh" ->
       """WITH 
@@ -84,9 +84,9 @@ object OracleAnn {
         | FROM dots GROUP BY vec_id),
         |eb AS (SELECT e.vec_id, e.embedding, b.bucket FROM emb e JOIN bk b USING (vec_id))
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS sim
+        |  floor(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) * 10000 + 0.5) / 10000 AS sim
         |FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        |WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) >= 0.4
+        |WHERE floor(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) * 10000 + 0.5) / 10000 >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
     "mm_feature_ann" ->
       """WITH x AS (SELECT CAST(doc_id AS BIGINT) AS vec_id, hex(encode(text)) AS hx FROM documents),
@@ -223,6 +223,6 @@ object OracleAnn {
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
         |  FROM cands)
         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
-        |  round(CAST(sim AS DOUBLE), 4) AS sim
+        |  floor(CAST(sim AS DOUBLE) * 10000 + 0.5) / 10000 AS sim
         |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
 }

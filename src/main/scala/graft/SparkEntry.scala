@@ -158,6 +158,27 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // skewed fact-fact join (§4.2 skew pattern, join flavor): ~30% of
+    // lineitem rows funnel to ONE hot join key, which a plain shuffle join
+    // serializes into a single reducer task; the explicit salted rewrite
+    // (SkewJoin.saltedInner) splits the hot key across 8 (key, salt)
+    // reducers. Row-identical to the plain join the oracle runs; salted
+    // partitioning + plain-join equivalence + the AQE skew-split alternative
+    // are pinned in SkewSpec. sum_qty sums integers (exact in double at any
+    // reduction order) so the oracle compare is associativity-proof.
+    "j9_skew_join" -> ((s, d) => {
+      val fact = t(s, d, "lineitem")
+        .withColumn("fk", when(pmod(col("l_orderkey"), lit(10)) < 3, lit(1L))
+          .otherwise(col("l_orderkey")))
+      val dim = t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      graft.queries.SkewJoin.saltedInner(fact, "fk",
+          hash(col("l_partkey"), col("l_suppkey"), col("l_linenumber")),
+          dim, "o_orderkey", nSalts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // ---------------------------------------------------- aggregates (§2.4)
     // A2: group-by counts (campaign.py:221-224)
     "a2_status_counts" -> ((s, d) => t(s, d, "orders")
@@ -590,6 +611,12 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*) AS n,
         | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "j9_skew_join" ->
+      """SELECT o_orderpriority, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM (SELECT CASE WHEN l_orderkey % 10 < 3 THEN 1 ELSE l_orderkey END AS fk,
+        |             l_quantity FROM lineitem) f
+        |JOIN orders ON fk = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "a2_status_counts" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders

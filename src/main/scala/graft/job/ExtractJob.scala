@@ -82,8 +82,11 @@ object ExtractJob {
     import spark.implicits._
 
     val p = numPartitions
-    val done0 = if (resume) Checkpoint.completedPids(outputPath) else {
-      Checkpoint.clear(outputPath); Set.empty[Int]
+    // session Hadoop conf so manifest I/O sees the same scheme config and
+    // credentials (s3a keys, defaultFS, …) as the data writes
+    val hconf = spark.sessionState.newHadoopConf()
+    val done0 = if (resume) Checkpoint.completedPids(outputPath, hconf) else {
+      Checkpoint.clear(outputPath, hconf); Set.empty[Int]
     }
     val todo = (0 until p).filterNot(done0)
     val waves: Seq[Seq[Int]] =
@@ -176,12 +179,12 @@ object ExtractJob {
 
       val seen = lineage.map(_._1).toSet
       lineage.foreach { case (pid, in, outN, ck) =>
-        Checkpoint.write(outputPath, LineageRow(runId, pid, in, outN, ck))
+        Checkpoint.write(outputPath, LineageRow(runId, pid, in, outN, ck), hconf)
         docsIn += in; docsOut += outN
       }
       // pids with zero input rows still complete (empty manifest)
       waveSet.diff(seen).foreach { pid =>
-        Checkpoint.write(outputPath, LineageRow(runId, pid, 0, 0, Checksums.render(0L)))
+        Checkpoint.write(outputPath, LineageRow(runId, pid, 0, 0, Checksums.render(0L)), hconf)
       }
       quarantined += quarCount
       processed ++= wave

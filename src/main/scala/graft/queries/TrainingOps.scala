@@ -110,24 +110,38 @@ object TrainingOps {
   final case class Sig(doc_id: Long, sig: Array[Int])
 
   /** Rows of `df` whose group (by `keys`) has at most `cap` members. Groups
-    * above the cap are dropped entirely and COUNTED in a named Spark
-    * accumulator (`metric`, visible in the UI / status API) so capped runs
-    * are distinguishable from exact ones. The size pass is a plain count
+    * above the cap are dropped entirely. The size pass is a plain count
     * aggregation — map-side partial agg, bounded state per group — so the
     * probe itself can never blow up on the hot group it is there to catch;
-    * the join back is an equi-join on the same keys (exchange reusable). */
-  private def dropHotGroups(df: DataFrame, keys: Seq[String], cap: Int,
-      metric: String): DataFrame = {
-    val dropped = df.sparkSession.sparkContext.longAccumulator(metric)
+    * the join back is an equi-join on the same keys (exchange reusable).
+    * The filter is a column predicate (whole-stage codegen; no row lambda);
+    * to tell a capped run from an exact one, call [[hotGroupDropCount]] —
+    * a separate aggregate ACTION, so the count is exact under task retry,
+    * unlike an accumulator incremented inside a transformation. */
+  private def dropHotGroups(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
     val kept = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__gsz"))
-      .filter { r =>
-        val ok = r.getAs[Long]("__gsz") <= cap
-        if (!ok) dropped.add(1)
-        ok
-      }
+      .filter(col("__gsz") <= cap)
       .drop("__gsz")
     df.join(kept, keys)
   }
+
+  /** Exact number of groups (by `keys`) exceeding `cap` — the audit face of
+    * [[dropHotGroups]]: 0 proves a capped run is identical to the uncapped
+    * one. Runs its own action (count over the same bounded-state count agg),
+    * so the result is retry-exact and never over-counts. */
+  def hotGroupDropCount(df: DataFrame, keys: Seq[String], cap: Int): Long =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__gsz"))
+      .filter(col("__gsz") > cap)
+      .count()
+
+  /** Dropped-bucket audits for the capped operators (the metric the old
+    * in-filter accumulator approximated, now exact): buckets a capped
+    * [[minhashPairsFromSignatures]] / [[simhashPairsFromFingerprints]] /
+    * [[ngramJaccardPairs]] run would drop at the given cap. */
+  def minhashDroppedBuckets(spark: SparkSession, docs: DataFrame,
+      k: Int = 64, bands: Int = 16, maxBucket: Int = 10000): Long =
+    hotGroupDropCount(bandedSignatures(spark, minhashSignatures(spark, docs, k), k, bands),
+      Seq("band", "bhash"), maxBucket)
 
   /** Near-dup candidate pairs via MinHash + banded LSH; similarity is the
     * signature-estimated Jaccard (matching positions / k).
@@ -136,34 +150,56 @@ object TrainingOps {
     * web-scale corpus has mega-clusters of IDENTICAL documents (mirrors,
     * boilerplate), and one bucket of b docs emits b²/2 candidates per band —
     * the same quadratic failure `ngramJaccardPairs`' maxDf closes. A bucket
-    * over the cap is dropped (and counted in the
-    * `graft.minhash.hot_buckets_dropped` accumulator): its members are
+    * over the cap is dropped ([[minhashDroppedBuckets]] reports the exact
+    * count when the audit matters): its members are
     * by construction near-identical, which is exact-dedup's job
     * (`dedupExactSurvivors`), not LSH's. The default exceeds every test
     * corpus's size, so results at test scale are provably identical to the
     * uncapped join (OpsSpec pins this); maxBucket ≤ 0 disables the cap. */
   def minhashPairs(spark: SparkSession, docs: DataFrame,
       k: Int = 64, bands: Int = 16, minSim: Double = 0.2,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000): DataFrame =
+    minhashPairsFromSignatures(spark, minhashSignatures(spark, docs, k),
+      k, bands, minSim, maxBucket)
+
+  /** The MinHash signature table (doc_id, sig) — the materialization seam:
+    * at production scale write this ONCE (`TableIO.write`) and run
+    * [[minhashPairsFromSignatures]] over the stored table. A lazy composed
+    * plan recomputes this narrow stage once per self-join side plus the
+    * cap probe (up to 4×); over a stored table each side is a parquet scan.
+    * Equivalence over a written-and-read-back table is pinned in OpsSpec. */
+  def minhashSignatures(spark: SparkSession, docs: DataFrame, k: Int = 64): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => Sig(id, minhash(shingles(text, 3), k)) }
+      .toDF("doc_id", "sig")
+  }
+
+  /** One (band, bhash, doc_id) row per signature band — the LSH bucket key. */
+  private def bandedSignatures(spark: SparkSession, sigDf: DataFrame,
+      k: Int, bands: Int): DataFrame = {
     import spark.implicits._
     require(k % bands == 0)
     val rowsPerBand = k / bands
+    sigDf.select(col("doc_id").cast("long").as("doc_id"), col("sig")).as[Sig]
+      .flatMap { s =>
+        (0 until bands).iterator.map { b =>
+          val slice = s.sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
+          (b, MurmurHash3.arrayHash(slice), s.doc_id)
+        }
+      }.toDF("band", "bhash", "doc_id")
+  }
 
-    val sigs = docs.select(col("doc_id").cast("long"), col("text"))
-      .as[(Long, String)]
-      .map { case (id, text) => Sig(id, minhash(shingles(text, 3), k)) }
-
-    val banded = sigs.flatMap { s =>
-      (0 until bands).iterator.map { b =>
-        val slice = s.sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
-        (b, MurmurHash3.arrayHash(slice), s.doc_id)
-      }
-    }.toDF("band", "bhash", "doc_id")
-
+  /** Pair generation over an existing signature table (see
+    * [[minhashSignatures]] for the contract; [[minhashPairs]] composes the
+    * two for the lazy single-query path). */
+  def minhashPairsFromSignatures(spark: SparkSession, sigDf: DataFrame,
+      k: Int = 64, bands: Int = 16, minSim: Double = 0.2,
+      maxBucket: Int = 10000): DataFrame = {
+    val banded = bandedSignatures(spark, sigDf, k, bands)
     val kept =
-      if (maxBucket > 0)
-        dropHotGroups(banded, Seq("band", "bhash"), maxBucket,
-          "graft.minhash.hot_buckets_dropped")
+      if (maxBucket > 0) dropHotGroups(banded, Seq("band", "bhash"), maxBucket)
       else banded
 
     val cands = kept.as("a").join(kept.as("b"),
@@ -172,10 +208,10 @@ object TrainingOps {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
-    val sigDf = sigs.toDF("doc_id", "sig")
+    val sigT = sigDf.select(col("doc_id").cast("long").as("doc_id"), col("sig"))
     cands
-      .join(sigDf.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sigDf.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .join(sigT.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sigT.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         (aggregate(zip_with(col("sa.sig"), col("sb.sig"), (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / k).as("est_jaccard"))
@@ -192,18 +228,31 @@ object TrainingOps {
     *
     * `maxBucket` caps a (chunk, cval) bucket before the self-join — same
     * mega-cluster-of-identical-docs quadratic exposure and same treatment
-    * as [[minhashPairs]]; dropped buckets are counted in the
-    * `graft.simhash.hot_buckets_dropped` accumulator. Default is a provable
+    * as [[minhashPairs]] ([[hotGroupDropCount]] over the chunked table is
+    * the exact audit). Default is a provable
     * no-op below 10k docs sharing a chunk; ≤ 0 disables. */
   def simhashPairs(spark: SparkSession, docs: DataFrame, maxHamming: Int = 16,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000): DataFrame =
+    simhashPairsFromFingerprints(spark, simhashFingerprints(spark, docs),
+      maxHamming, maxBucket)
+
+  /** The SimHash fingerprint table (doc_id, fp) — same materialization seam
+    * as [[minhashSignatures]]: write once, run pair generation over the
+    * stored table so the narrow fingerprint stage isn't recomputed per
+    * self-join side. Equivalence pinned in OpsSpec. */
+  def simhashFingerprints(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val fps = docs.select(col("doc_id").cast("long"), col("text"))
+    docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) => (id, simhash64(text)) }
       .toDF("doc_id", "fp")
+  }
 
-    val chunked0 = fps.select(col("doc_id"), col("fp"),
+  /** Pair generation over an existing fingerprint table (see
+    * [[simhashFingerprints]]). */
+  def simhashPairsFromFingerprints(spark: SparkSession, fps: DataFrame,
+      maxHamming: Int = 16, maxBucket: Int = 10000): DataFrame = {
+    val chunked0 = fps.select(col("doc_id").cast("long").as("doc_id"), col("fp"),
         explode(array((0 until 4).map { c =>
           struct(lit(c).as("chunk"),
             shiftrightunsigned(col("fp"), c * 16).bitwiseAND(lit(0xffffL)).as("cval"))
@@ -211,9 +260,7 @@ object TrainingOps {
       .select(col("doc_id"), col("fp"), col("ch.chunk"), col("ch.cval"))
 
     val chunked =
-      if (maxBucket > 0)
-        dropHotGroups(chunked0, Seq("chunk", "cval"), maxBucket,
-          "graft.simhash.hot_buckets_dropped")
+      if (maxBucket > 0) dropHotGroups(chunked0, Seq("chunk", "cval"), maxBucket)
       else chunked0
 
     chunked.as("a").join(chunked.as("b"),
@@ -252,8 +299,8 @@ object TrainingOps {
 
     // With a cap, prefilter hot shingles by df FIRST (a count aggregation —
     // partial-agg safe, so the probe never materializes the hot posting
-    // list it exists to drop; dropped shingles are counted in the
-    // `graft.ngram.hot_shingles_dropped` accumulator), THEN build posting
+    // list it exists to drop; hotGroupDropCount(shAll, Seq("sh"), maxDf)
+    // is the exact dropped-shingle audit), THEN build posting
     // lists — collect_list is now provably bounded at maxDf entries — and
     // explode ordered pairs from each list, fan-out bounded at df² per
     // shingle. Without a cap, fall back to the streaming self-join (posting
@@ -261,8 +308,7 @@ object TrainingOps {
     // so each (sh, doc) occurs once and duplicate-pair counts ARE |A∩B|.
     val (sizes, inter) =
       if (maxDf > 0) {
-        val kept = dropHotGroups(shAll, Seq("sh"), maxDf,
-            "graft.ngram.hot_shingles_dropped")
+        val kept = dropHotGroups(shAll, Seq("sh"), maxDf)
           .groupBy(col("sh"))
           .agg(collect_list(col("doc_id")).as("docs"))
         val sz = kept.select(explode(col("docs")).as("doc_id"))
@@ -379,7 +425,9 @@ object TrainingOps {
     val cands = e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(cosine(col("a.embedding"), col("b.embedding")), 4).as("sim"))
+        // floor-based half-up 4dp (see cosineTopK): keeps the whole
+        // similarity family on the engine-agnostic rounding formulation
+        (floor(cosine(col("a.embedding"), col("b.embedding")) * 1e4 + 0.5) / 1e4).as("sim"))
     cands.where(col("sim") >= minSim).orderBy(col("vec_a"), col("vec_b"))
   }
 
@@ -421,7 +469,8 @@ object TrainingOps {
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
     cands.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("sim"), 4).as("sim"))
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        (floor(col("sim") * 1e4 + 0.5) / 1e4).as("sim"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -639,7 +688,8 @@ object TrainingOps {
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
     cands.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("sim"), 4).as("sim"))
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        (floor(col("sim") * 1e4 + 0.5) / 1e4).as("sim"))
       .orderBy(col("query_id"), col("rank"))
   }
 

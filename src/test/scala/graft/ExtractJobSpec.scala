@@ -102,6 +102,25 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(la == lb)
   }
 
+  test("resume works over a file:-scheme URI output (the non-local-URI code path)") {
+    // Checkpoint I/O goes through the Hadoop FileSystem of the path's
+    // scheme; a java.nio implementation sees NOTHING here — completedPids
+    // would return empty and the restart would re-process all 16 pids.
+    val out = s"file:$base/outUriResume"
+    val partial = ExtractJob.run(spark, s"$base/in", out, "uA", P, waveSize = 3, maxWaves = 2)
+    assert(partial.processedPids.size == 6)
+    assert(Checkpoint.completedPids(out).size == 6)
+
+    val resumed = ExtractJob.run(spark, s"$base/in", out, "uB", P, resume = true, waveSize = 3)
+    assert(resumed.skippedPids.toSet == partial.processedPids.toSet)
+    assert(resumed.processedPids.toSet.intersect(partial.processedPids.toSet).isEmpty)
+    assert(Checkpoint.completedPids(out) == (0 until P).toSet)
+
+    val a = ExtractJob.readSpans(spark, out).collect().map(d => d.doc_id -> d.spans).toMap
+    val b = ExtractJob.readSpans(spark, s"$base/out").collect().map(d => d.doc_id -> d.spans).toMap
+    assert(a == b)
+  }
+
   test("tag filter on job output is partition pruning, not a data scan") {
     val plan = ExtractJob.readLineage(spark, s"$base/out")
       .queryExecution.executedPlan.toString
@@ -135,7 +154,8 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     ExtractJob.run(spark, s"$base/in", out, "rT", P)
     val before = ExtractJob.readSpans(spark, out).collect().map(d => d.doc_id -> d.spans).toMap
     // simulate a crash after data commit but before manifest write
-    java.nio.file.Files.delete(Checkpoint.manifestPath(out, 5))
+    val mp = Checkpoint.manifestPath(out, 5)
+    assert(mp.getFileSystem(spark.sessionState.newHadoopConf()).delete(mp, false))
     assert(Checkpoint.completedPids(out) == (0 until P).toSet - 5)
 
     val resumed = ExtractJob.run(spark, s"$base/in", out, "rT2", P, resume = true)

@@ -123,6 +123,41 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"hot cluster must be dropped: $pairs")
   }
 
+  test("materialized signature tables: pairs over a written-and-read-back table are identical") {
+    // the 100 TB path: compute signatures ONCE (TableIO.write), run pair
+    // generation over the stored table — no per-join-side recompute of the
+    // narrow signature stage. Must be output-identical to the lazy
+    // composition the single-query entries use.
+    val tmp = java.nio.file.Files.createTempDirectory("graftsigmat").toString
+    graft.core.TableIO.write(TrainingOps.minhashSignatures(spark, docsDf), s"$tmp/mh_sigs")
+    val mStored = TrainingOps.minhashPairsFromSignatures(spark,
+        graft.core.TableIO.read(spark, s"$tmp/mh_sigs"), minSim = 0.05)
+      .collect().map(_.toSeq).toSeq
+    val mLazy = TrainingOps.minhashPairs(spark, docsDf, minSim = 0.05)
+      .collect().map(_.toSeq).toSeq
+    assert(mStored == mLazy && mStored.nonEmpty)
+
+    graft.core.TableIO.write(TrainingOps.simhashFingerprints(spark, docsDf), s"$tmp/sh_fps")
+    val sStored = TrainingOps.simhashPairsFromFingerprints(spark,
+        graft.core.TableIO.read(spark, s"$tmp/sh_fps"), maxHamming = 8)
+      .collect().map(_.toSeq).toSeq
+    val sLazy = TrainingOps.simhashPairs(spark, docsDf, maxHamming = 8)
+      .collect().map(_.toSeq).toSeq
+    assert(sStored == sLazy && sStored.nonEmpty)
+  }
+
+  test("hotGroupDropCount: exact retry-safe audit — 0 at default cap, counts hot buckets when capped") {
+    import spark.implicits._
+    assert(TrainingOps.minhashDroppedBuckets(spark, docsDf) == 0L,
+      "default cap must be a provable no-op on the test corpus")
+    // 1000 identical docs: each of the 16 bands collapses to ONE bucket of
+    // 1000 members — exactly 16 groups exceed cap=100
+    val mega = spark.range(0, 1000)
+      .select(col("id").as("doc_id"),
+        lit("the same boilerplate mirror page body text").as("text"))
+    assert(TrainingOps.minhashDroppedBuckets(spark, mega, maxBucket = 100) == 16L)
+  }
+
   test("ngram jaccard df-cap: default is a no-op; low cap defuses a boilerplate shingle") {
     import spark.implicits._
     // default cap (10000) can never trigger below 10k docs ⇒ identical output
