@@ -217,11 +217,21 @@ object Bench {
         val t4Nb = lvl4N.run(p + 100)
         val t4N = math.min(t4Na, t4Nb)
         System.err.println(f"BENCH_PASS $p t_n=$tN%.2f t_4n=$t4Na%.2f/$t4Nb%.2f eff=${tN / t4N / (cpus4N.toDouble / cpusN)}%.3f")
-        (tN, t4N)
+        (tN, t4Na, t4Nb)
       }
       lvlN.close(); lvl4N.close()
-      val secN = passes.map(_._1).min
-      val sec4N = (t4N0 +: passes.map(_._2)).min
+      // ALL raw draws are recorded in BENCH_DETAILS.json (samples_n /
+      // samples_4n): the 4N level deliberately gets 2·reps+1 min-draws vs
+      // reps for N (steal waves hit the higher-core JVM disproportionately —
+      // BASELINE.md), and a min over more draws is biased low even on a
+      // quiet host, so the asymmetry must be visible next to the ≥0.8
+      // criterion; eff_matched_draws recomputes efficiency from the first
+      // 4N draw of each pass only (equal draw counts per level).
+      val samplesN = passes.map(_._1)
+      val samples4N = t4N0 +: passes.flatMap(p => Seq(p._2, p._3))
+      val secN = samplesN.min
+      val sec4N = samples4N.min
+      val effMatched = secN / (passes.map(_._2).min * (cpus4N.toDouble / cpusN))
 
       // The all-cores figure is informational (not the criterion), but it
       // must not be a single steal-polluted sample: round 2 shipped
@@ -242,7 +252,8 @@ object Bench {
           .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
       } catch { case _: Throwable => () }
 
-      Right(ExtractStats(nDocs, parts, reps, cpusN, cpus4N, cpusMax, secN, sec4N, secMax))
+      Right(ExtractStats(nDocs, parts, reps, cpusN, cpus4N, cpusMax, secN, sec4N, secMax,
+        samplesN, samples4N, effMatched))
     } catch {
       case e: Throwable => Left(String.valueOf(e.getMessage).take(200)
         .replaceAll("[\"\\\\\n\r\t]", " "))
@@ -282,15 +293,21 @@ object Bench {
   final case class ExtractStats(
       docs: Long, parts: Int, reps: Int,
       coresN: Int, cores4N: Int, coresMax: Int,
-      secN: Double, sec4N: Double, secMax: Double) {
+      secN: Double, sec4N: Double, secMax: Double,
+      samplesN: Seq[Double], samples4N: Seq[Double], effMatched: Double) {
     def dpsN: Double = docs / secN
     def dps4N: Double = docs / sec4N
     def dpsMax: Double = docs / secMax
     def eff: Double = dps4N / ((cores4N.toDouble / coresN) * dpsN)
+    private def arr(xs: Seq[Double]): String =
+      xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     def detailJson: String =
       f"""{"docs":$docs,"partitions":$parts,"reps":$reps,"cores_n":$coresN,"cores_4n":$cores4N,"cores_max":$coresMax,""" +
         f""""sec_n":$secN%.3f,"sec_4n":$sec4N%.3f,"sec_max":$secMax%.3f,""" +
         f""""docs_per_sec_n":$dpsN%.1f,"docs_per_sec_4n":$dps4N%.1f,""" +
-        f""""docs_per_sec_max":$dpsMax%.1f,"scaling_efficiency":$eff%.3f}"""
+        f""""docs_per_sec_max":$dpsMax%.1f,"scaling_efficiency":$eff%.3f,""" +
+        s""""n_samples_n":${samplesN.size},"n_samples_4n":${samples4N.size},""" +
+        s""""samples_n":${arr(samplesN)},"samples_4n":${arr(samples4N)},""" +
+        f""""scaling_efficiency_matched_draws":$effMatched%.3f}"""
   }
 }

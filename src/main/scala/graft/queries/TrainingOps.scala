@@ -31,7 +31,7 @@ object TrainingOps {
   // ----------------------------------------------------------- primitives
 
   /** Stable 64-bit FNV-1a (no RNG, no platform dependence). */
-  private[queries] def fnv1a64(s: String): Long = {
+  private[graft] def fnv1a64(s: String): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
     while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }

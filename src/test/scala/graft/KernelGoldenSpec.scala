@@ -145,6 +145,26 @@ class KernelGoldenSpec extends AnyFunSuite {
     assert(checked == 600)
   }
 
+  test("wide sweep: kernel == golden on 8000 docs at a fresh id range (corpus-scale gate)") {
+    // the committed parity checks cover ids 0..2000; this sweeps an id range
+    // nothing else touches so corpus-scale parity is a suite gate, not a
+    // tool run (tools/GoldenSweep remains the 20k+ manual sweep). Parallel
+    // streams keep it well under the 30 s budget — both extractors already
+    // run under 32 Spark task threads, so thread-safety is load-bearing
+    // elsewhere too.
+    val checked = new java.util.concurrent.atomic.AtomicLong()
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    java.util.stream.LongStream.range(100000L, 108000L).parallel().forEach { i =>
+      val doc = SpanGen.genDoc(SpanGen.docId(i))
+      val k = Extractor.extractDoc(doc)
+      val g = GoldenExtractor.extract(doc)
+      if (k.doc_id != g.doc_id || k.spans != g.spans) bad.add(doc.doc_id)
+      checked.incrementAndGet()
+    }
+    assert(checked.get == 8000L)
+    assert(bad.isEmpty, s"divergent docs: $bad")
+  }
+
   test("extraction is idempotent on re-wrapped output text spans") {
     // re-extracting a doc whose spans are already clean 'text' spans would drop
     // them (unknown kind) — instead verify determinism: extract twice == once
