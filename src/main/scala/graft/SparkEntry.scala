@@ -500,6 +500,26 @@ object SparkEntry {
       }.toDF("doc_id", "n_chunks", "max_chunk_chars").orderBy(col("doc_id"))
     }),
 
+    // chunker over TABLE text (F6's oracle-expressible face — f6_chunker
+    // above exercises the same Chunker on kernel output, which DuckDB
+    // cannot recompute): paragraphs synthesized deterministically (7-word
+    // groups joined "\n\n"), then the reference-exact greedy pack at an
+    // 80-char cap; the oracle replays the fold as a DuckDB list_reduce over
+    // integer lengths — exact in both engines
+    "f6_chunker_docs" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents").select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val ws = text.split("\\s+").filter(_.nonEmpty)
+          val paras = ws.grouped(7).map(_.mkString(" ")).toVector
+          val chunks = Chunker.chunk(paras.mkString("\n\n"), maxChars = 80)
+          (id, chunks.length.toLong,
+            if (chunks.isEmpty) 0L else chunks.map(_.length).max.toLong)
+        }.toDF("doc_id", "n_chunks", "max_chunk_chars")
+        .orderBy(col("doc_id"))
+    }),
+
     // ------------------------------------------------- text analysis ops
     "ta_token_counts" -> ((s, d) => TrainingOps.tokenCounts(t(s, d, "documents"))),
     "ta_quality_score" -> ((s, d) => TrainingOps.qualityScore(t(s, d, "documents"))),
@@ -918,6 +938,46 @@ object SparkEntry {
         |  list_cosine_similarity(q.embedding, e.embedding) AS s
         | FROM embeddings q JOIN embeddings e ON q.vec_id < 8 AND e.vec_id != q.vec_id)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // reference-exact greedy paragraph packing replayed as a list_reduce
+    // fold with a struct accumulator over integer paragraph lengths:
+    // paraLen = len+2 (the +2 applies to the FIRST para of a chunk too),
+    // flush strictly-greater, oversize single para = own chunk; chunk
+    // length = running cur - 2 (one trailing separator removed)
+    "f6_chunker_docs" ->
+      """WITH w AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    [array_to_string(ws[i:i+6], ' ') for i in generate_series(1, len(ws), 7)] AS paras
+        |  FROM w),
+        |m AS (
+        |  SELECT doc_id, paras,
+        |    CASE WHEN len(paras) = 0 THEN 0
+        |      ELSE list_sum([length(q) for q in paras])::BIGINT + 2*(len(paras)-1) END AS t2len
+        |  FROM p),
+        |f AS (
+        |  SELECT doc_id, t2len,
+        |    CASE WHEN t2len <= 80 THEN NULL
+        |    ELSE list_reduce(
+        |      list_prepend(
+        |        struct_pack(cur := 0::BIGINT, n := 0::BIGINT, mx := 0::BIGINT, curk := 0::BIGINT, l := 0::BIGINT),
+        |        [struct_pack(cur := 0::BIGINT, n := 0::BIGINT, mx := 0::BIGINT, curk := 0::BIGINT,
+        |                     l := length(q)::BIGINT) for q in paras]),
+        |      (a, x) -> CASE WHEN a.cur + x.l + 2 > 80 AND a.curk > 0
+        |        THEN struct_pack(cur := x.l + 2, n := a.n + 1,
+        |               mx := greatest(a.mx, a.cur - 2), curk := 1::BIGINT, l := 0::BIGINT)
+        |        ELSE struct_pack(cur := a.cur + x.l + 2, n := a.n, mx := a.mx,
+        |               curk := a.curk + 1, l := 0::BIGINT) END)
+        |    END AS st
+        |  FROM m)
+        |SELECT doc_id,
+        |  CASE WHEN t2len <= 80 THEN 1
+        |    ELSE st.n + CASE WHEN st.curk > 0 THEN 1 ELSE 0 END END AS n_chunks,
+        |  CASE WHEN t2len <= 80 THEN t2len
+        |    ELSE greatest(st.mx, CASE WHEN st.curk > 0 THEN st.cur - 2 ELSE 0 END) END AS max_chunk_chars
+        |FROM f ORDER BY doc_id""".stripMargin,
     "ta_token_counts" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(text,'\S+')) AS BIGINT) AS ws_tokens,
         | CAST(len(regexp_extract_all(text,'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
