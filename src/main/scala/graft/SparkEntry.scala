@@ -40,7 +40,10 @@ object SparkEntry {
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        // quantized ratio (integer-valued sum / count) CAN land exactly on a
+        // .xxxx5 boundary where Spark round() (shortest-decimal) and DuckDB
+        // round() (binary) disagree — floor half-up is bit-identical in both
+        (floor(avg(col("l_quantity")) * 1e4 + 0.5) / 1e4).as("avg_qty"),
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))),
 
@@ -213,8 +216,9 @@ object SparkEntry {
     "a6_completion_ratio" -> ((s, d) => t(s, d, "orders")
       .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
-      .agg(round(sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).cast("double") /
-        count(lit(1)), 4).as("completion_rate"), count(lit(1)).as("n"))
+      // count ratio = quantized → floor half-up (see q1_agg avg_qty note)
+      .agg((floor(sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).cast("double") /
+        count(lit(1)) * 1e4 + 0.5) / 1e4).as("completion_rate"), count(lit(1)).as("n"))
       .orderBy(col("c_mktsegment"))),
 
     // A8: regex pattern-count aggregate (ocr.py:266-274 shape)
@@ -403,7 +407,9 @@ object SparkEntry {
     // F15: JSON extraction (config.py:155-165 shape)
     "f15_json_extract" -> ((s, d) => t(s, d, "events")
       .groupBy(col("event_type"))
-      .agg(round(avg(get_json_object(col("props"), "$.k").cast("long")), 4).as("avg_k"))
+      // avg of integers = quantized ratio → floor half-up
+      .agg((floor(avg(get_json_object(col("props"), "$.k").cast("long")) * 1e4 + 0.5) / 1e4)
+        .as("avg_k"))
       .orderBy(col("event_type"))),
 
     // ------------------------------------------------ SQL surface (spark.sql)
@@ -558,7 +564,7 @@ object SparkEntry {
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
         | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
-        | round(avg(l_quantity),4) AS avg_qty, count(*) AS n_rows
+        | floor(avg(l_quantity)*10000 + 0.5)/10000 AS avg_qty, count(*) AS n_rows
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_top_orders" ->
@@ -655,8 +661,8 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "a6_completion_ratio" ->
       """SELECT c_mktsegment,
-        | round(CAST(sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS DOUBLE)/count(*),4)
-        |  AS completion_rate, count(*) AS n
+        | floor(CAST(sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS DOUBLE)/count(*)
+        |   * 10000 + 0.5)/10000 AS completion_rate, count(*) AS n
         |FROM orders JOIN customer ON o_custkey=c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "a8_pattern_count" ->
@@ -759,7 +765,7 @@ object SparkEntry {
         | count(*) AS n FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "f15_json_extract" ->
       """SELECT event_type,
-        | round(avg(CAST(json_extract_string(props,'$.k') AS BIGINT)),4) AS avg_k
+        | floor(avg(CAST(json_extract_string(props,'$.k') AS BIGINT))*10000 + 0.5)/10000 AS avg_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "dd_exact_summary" ->
       """SELECT CAST(count(*) AS BIGINT) AS total_docs,
@@ -876,7 +882,8 @@ object SparkEntry {
     "dd_embed_cosine" ->
       """SELECT vec_a, vec_b, sim FROM (
         | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS sim
+        |  floor(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE)
+        |    * 10000 + 0.5) / 10000 AS sim
         | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |WHERE sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
     "dd_ngram_jaccard" ->
@@ -894,7 +901,7 @@ object SparkEntry {
         | FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
         |SELECT doc_a, doc_b, jaccard FROM (
         | SELECT doc_a, doc_b,
-        |  round(CAST(i AS DOUBLE) / (za.sz + zb.sz - i), 4) AS jaccard
+        |  floor(CAST(i AS DOUBLE) / (za.sz + zb.sz - i) * 10000 + 0.5) / 10000 AS jaccard
         | FROM inter JOIN sizes za ON doc_a = za.doc_id JOIN sizes zb ON doc_b = zb.doc_id)
         |WHERE jaccard >= 0.02 ORDER BY doc_a, doc_b""".stripMargin,
     "mm_meta_summary" ->
@@ -985,15 +992,17 @@ object SparkEntry {
     "ta_quality_score" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
         | CAST(len(regexp_extract_all(text,'\S+')) AS BIGINT) AS n_words,
-        | round(CASE WHEN len(regexp_extract_all(text,'\S+')) > 0
+        | floor(CASE WHEN len(regexp_extract_all(text,'\S+')) > 0
         |  THEN CAST(len(regexp_extract_all(lower(text),'\b(the|and|of|to|a|in|is)\b')) AS DOUBLE)
-        |       / len(regexp_extract_all(text,'\S+')) ELSE 0 END, 4) AS stopword_ratio,
-        | round(CASE WHEN length(text) > 0
+        |       / len(regexp_extract_all(text,'\S+')) ELSE 0 END * 10000 + 0.5) / 10000
+        |  AS stopword_ratio,
+        | floor(CASE WHEN length(text) > 0
         |  THEN CAST(len(regexp_extract_all(text,'[.,;:!?]')) AS DOUBLE) / length(text)
-        |  ELSE 0 END, 4) AS punct_ratio,
-        | round(CASE WHEN len(regexp_extract_all(text,'\S+')) > 0
+        |  ELSE 0 END * 10000 + 0.5) / 10000 AS punct_ratio,
+        | floor(CASE WHEN len(regexp_extract_all(text,'\S+')) > 0
         |  THEN (CAST(length(text) AS DOUBLE) - (len(regexp_extract_all(text,'\S+')) - 1))
-        |       / len(regexp_extract_all(text,'\S+')) ELSE 0 END, 4) AS avg_word_len
+        |       / len(regexp_extract_all(text,'\S+')) ELSE 0 END * 10000 + 0.5) / 10000
+        |  AS avg_word_len
         |FROM documents ORDER BY doc_id""".stripMargin,
     // FNV-1a64 over UTF-16 code units, re-expressed as a HUGEINT fold over
     // code points (generated corpus is BMP-only, so units == points);

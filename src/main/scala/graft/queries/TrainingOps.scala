@@ -334,8 +334,11 @@ object TrainingOps {
       .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
       .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        round(col("inter").cast("double") /
-          (col("za.sz") + col("zb.sz") - col("inter")), 4).as("jaccard"))
+        // jaccard is a ratio of exact integers — it CAN land exactly on a
+        // .xxxx5 boundary (e.g. |A∩B|/|A∪B| = 1/32), where Spark round()
+        // and DuckDB round() disagree; floor half-up is engine-identical
+        (floor(col("inter").cast("double") /
+          (col("za.sz") + col("zb.sz") - col("inter")) * 1e4 + 0.5) / 1e4).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -513,8 +516,10 @@ object TrainingOps {
           var dot = 0.0; var i = 0
           val n = math.min(va.length, vb.length)
           while (i < n) { dot += va(i).toDouble * vb(i); i += 1 }
-          // mirror Spark round(): shortest-decimal BigDecimal HALF_UP
-          BigDecimal(dot / (na * nb)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          // floor half-up 4dp — same IEEE ops as the rest of the similarity
+          // family (the old BigDecimal HALF_UP mirrored Spark round(), which
+          // DuckDB's binary round() can disagree with at .xxxx5)
+          math.floor(dot / (na * nb) * 1e4 + 0.5) / 1e4
         }
         val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
         val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float], Double)]
@@ -726,13 +731,16 @@ object TrainingOps {
     val stops = size(regexp_extract_all(lower(col("text")),
       lit("""\b(the|and|of|to|a|in|is)\b"""), lit(0))).cast("double")
     val puncts = size(regexp_extract_all(col("text"), lit("""[.,;:!?]"""), lit(0))).cast("double")
+    // all three are ratios of exact integers (quantized) → floor half-up
+    // 4dp, engine-identical at .xxxx5 boundaries (see ngramJaccardPairs)
+    def r4(c: Column): Column = floor(c * 1e4 + 0.5) / 1e4
     docs.select(
         col("doc_id").cast("long").as("doc_id"),
         nChars.cast("long").as("n_chars"),
         words.cast("long").as("n_words"),
-        round(when(words > 0, stops / words).otherwise(0.0), 4).as("stopword_ratio"),
-        round(when(nChars > 0, puncts / nChars).otherwise(0.0), 4).as("punct_ratio"),
-        round(when(words > 0, (nChars - (words - 1)) / words).otherwise(0.0), 4).as("avg_word_len"))
+        r4(when(words > 0, stops / words).otherwise(0.0)).as("stopword_ratio"),
+        r4(when(nChars > 0, puncts / nChars).otherwise(0.0)).as("punct_ratio"),
+        r4(when(words > 0, (nChars - (words - 1)) / words).otherwise(0.0)).as("avg_word_len"))
       .orderBy(col("doc_id"))
   }
 
