@@ -201,7 +201,10 @@ object SparkEntry {
     // A4: AVG with null guard (campaign.py:233-241)
     "a4_avg_value" -> ((s, d) => t(s, d, "events")
       .groupBy(col("event_type"))
-      .agg(round(avg(coalesce(col("value"), lit(0.0))), 4).as("avg_value"),
+      // value is cents-quantized (w3 relies on value*100 being integral),
+      // so the avg sits on a 1/(100n) grid — same .xxxx5-boundary class as
+      // q1_agg's avg_qty → floor half-up on both sides
+      .agg((floor(avg(coalesce(col("value"), lit(0.0))) * 1e4 + 0.5) / 1e4).as("avg_value"),
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))),
 
@@ -653,7 +656,8 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rn
         | FROM documents) WHERE rn=1 ORDER BY lang""".stripMargin,
     "a4_avg_value" ->
-      """SELECT event_type, round(avg(coalesce(value,0)),4) AS avg_value, count(*) AS n
+      """SELECT event_type,
+        | floor(avg(coalesce(value,0))*10000 + 0.5)/10000 AS avg_value, count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "a5_revenue_by_flag" ->
       """SELECT l_returnflag, round(sum(l_quantity),2) AS sum_qty,

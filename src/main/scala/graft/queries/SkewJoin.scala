@@ -33,6 +33,10 @@ object SkewJoin {
   def saltedInner(left: DataFrame, leftKey: String, saltSource: Column,
       right: DataFrame, rightKey: String, nSalts: Int): DataFrame = {
     require(nSalts > 0)
+    // the internal salt column is overwritten-then-dropped — refuse inputs
+    // that already carry one rather than silently losing the caller's data
+    require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
+      "saltedInner reserves the __salt column; rename it on the inputs first")
     val l = left.withColumn("__salt", pmod(hash(saltSource), lit(nSalts)))
     val r = right.withColumn("__salt",
       explode(array((0 until nSalts).map(lit): _*)))

@@ -134,10 +134,12 @@ object TrainingOps {
       .filter(col("__gsz") > cap)
       .count()
 
-  /** Dropped-bucket audits for the capped operators (the metric the old
-    * in-filter accumulator approximated, now exact): buckets a capped
-    * [[minhashPairsFromSignatures]] / [[simhashPairsFromFingerprints]] /
-    * [[ngramJaccardPairs]] run would drop at the given cap. */
+  /** Exact dropped-bucket audit for a capped MinHash run (the metric the
+    * old in-filter accumulator approximated): banded buckets a
+    * [[minhashPairsFromSignatures]] run would drop at the given cap. For
+    * the other capped operators compose [[hotGroupDropCount]] with the
+    * matching keys: simhash — the (chunk, cval) table on Seq("chunk",
+    * "cval"); n-gram — the exploded (doc_id, sh) table on Seq("sh"). */
   def minhashDroppedBuckets(spark: SparkSession, docs: DataFrame,
       k: Int = 64, bands: Int = 16, maxBucket: Int = 10000): Long =
     hotGroupDropCount(bandedSignatures(spark, minhashSignatures(spark, docs, k), k, bands),
@@ -176,7 +178,10 @@ object TrainingOps {
       .toDF("doc_id", "sig")
   }
 
-  /** One (band, bhash, doc_id) row per signature band — the LSH bucket key. */
+  /** One (band, bhash, doc_id) row per signature band — the LSH bucket key.
+    * Fails fast (per row, inside the narrow map) if a stored signature's
+    * length doesn't match `k`: slicing would otherwise clamp silently and a
+    * k-mismatched table would yield garbage candidates, not an error. */
   private def bandedSignatures(spark: SparkSession, sigDf: DataFrame,
       k: Int, bands: Int): DataFrame = {
     import spark.implicits._
@@ -184,6 +189,10 @@ object TrainingOps {
     val rowsPerBand = k / bands
     sigDf.select(col("doc_id").cast("long").as("doc_id"), col("sig")).as[Sig]
       .flatMap { s =>
+        if (s.sig.length != k)
+          throw new IllegalArgumentException(
+            s"signature length ${s.sig.length} for doc ${s.doc_id} != k=$k — " +
+              "was the signature table written with a different k?")
         (0 until bands).iterator.map { b =>
           val slice = s.sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
           (b, MurmurHash3.arrayHash(slice), s.doc_id)

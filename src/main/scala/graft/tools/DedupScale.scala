@@ -21,7 +21,9 @@ import graft.queries.TrainingOps
   * hold; uncapped, the mega-cluster alone contributes (n/20)²/2 pairs.
   *
   * Env: DEDUPSCALE_SIZES (csv, default "5000,20000,50000"),
-  * DEDUPSCALE_CAP (default 500), DEDUPSCALE_CPUS (default 32).
+  * DEDUPSCALE_CAP (default 200 — must stay < 5% of the smallest size so
+  * the mega-cluster is dropped at every probe size),
+  * DEDUPSCALE_CPUS (default 32).
   */
 object DedupScale {
 

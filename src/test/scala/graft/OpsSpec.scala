@@ -146,6 +146,16 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sStored == sLazy && sStored.nonEmpty)
   }
 
+  test("k-mismatched signature table fails fast instead of producing garbage candidates") {
+    val sigs128 = TrainingOps.minhashSignatures(spark, docsDf, k = 128)
+    val e = intercept[org.apache.spark.SparkException] {
+      TrainingOps.minhashPairsFromSignatures(spark, sigs128, k = 64).collect()
+    }
+    assert(e.getMessage.contains("IllegalArgumentException") ||
+      String.valueOf(e.getCause).contains("signature length") ||
+      e.getMessage.contains("signature length"))
+  }
+
   test("hotGroupDropCount: exact retry-safe audit — 0 at default cap, counts hot buckets when capped") {
     import spark.implicits._
     assert(TrainingOps.minhashDroppedBuckets(spark, docsDf) == 0L,
