@@ -445,6 +445,21 @@ object SparkEntry {
     "ta_split_counts" -> ((s, d) => TrainingOps.splitAssign(s, t(s, d, "documents"))
       .groupBy(col("split")).agg(count(lit(1)).as("n")).orderBy(col("split"))),
     "dd_minhash_pairs" -> ((s, d) => TrainingOps.minhashPairs(s, t(s, d, "documents"), minSim = 0.05)),
+
+    // the production (100 TB) minhash path END TO END: signatures written
+    // ONCE through TableIO, pair generation over the STORED table — no
+    // per-join-side recompute of the signature stage. Same oracle as
+    // dd_minhash_pairs (the result is identical by construction; OpsSpec
+    // pins it, and this makes the driver's hash gate pin it too). Fixed
+    // warehouse location (no RNG/tempdir — engine-path determinism).
+    "dd_minhash_stored" -> ((s, d) => {
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "graft_minhash_sigs").toString
+      graft.core.TableIO.write(
+        TrainingOps.minhashSignatures(s, t(s, d, "documents")), loc)
+      TrainingOps.minhashPairsFromSignatures(
+        s, graft.core.TableIO.read(s, loc), minSim = 0.05)
+    }),
     "dd_simhash_pairs" -> ((s, d) => TrainingOps.simhashPairs(s, t(s, d, "documents"), maxHamming = 8)),
     "dd_ngram_jaccard" -> ((s, d) => TrainingOps.ngramJaccardPairs(s, t(s, d, "documents"), minJaccard = 0.02)),
     "dd_embed_cosine" -> ((s, d) => TrainingOps.embedCosinePairs(s, t(s, d, "embeddings"), minSim = 0.4)),
@@ -563,7 +578,14 @@ object SparkEntry {
         .orderBy(col("n").desc, col("kind")).limit(20)
     }))
 
-  def oracleSql: Map[String, String] = OracleAnn.entries ++ Map(
+  // dd_minhash_stored is the same computation over a materialized signature
+  // table — it shares dd_minhash_pairs' oracle verbatim (appended at the end)
+  def oracleSql: Map[String, String] = {
+    val base = baseOracleSql
+    base + ("dd_minhash_stored" -> base("dd_minhash_pairs"))
+  }
+
+  private def baseOracleSql: Map[String, String] = OracleAnn.entries ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
         | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
