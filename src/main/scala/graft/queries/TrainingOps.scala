@@ -427,13 +427,25 @@ object TrainingOps {
     * bucket ⇒ similar direction), exact cosine verifies survivors — the
     * candidate join replaces embedCosinePairs' O(n²) scan once the corpus
     * outgrows broadcast reach. Approximate: recall depends on nPlanes
-    * (fewer planes = bigger buckets = higher recall, more candidates). */
+    * (fewer planes = bigger buckets = higher recall, more candidates).
+    *
+    * `maxBucket` caps a hyperplane bucket before the self-join — the same
+    * mega-cluster exposure as [[minhashPairs]]/[[simhashPairs]]: a web
+    * corpus has clusters of IDENTICAL embeddings (byte-identical media,
+    * mirrored pages), and one bucket of m vectors emits m²/2 candidates.
+    * Over-cap buckets are dropped (their members are exact dedup's job);
+    * default is a provable no-op below 10k vectors per bucket; ≤ 0
+    * disables. [[hotGroupDropCount]] over the bucketed table is the exact
+    * audit. */
   def embedCosinePairsLsh(spark: SparkSession, emb: DataFrame,
-      minSim: Double = 0.95, nPlanes: Int = 8): DataFrame = {
+      minSim: Double = 0.95, nPlanes: Int = 8, maxBucket: Int = 10000): DataFrame = {
     graft.functions.CosineSimExpr.register(spark)
     val sigged = hyperplaneBuckets(spark, emb, nPlanes)
-    val e = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val e0 = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
       .join(sigged, "vec_id")
+    val e =
+      if (maxBucket > 0) dropHotGroups(e0, Seq("bucket"), maxBucket)
+      else e0
     val cands = e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),

@@ -249,6 +249,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh.contains((0L, 1L)), "near-identical directions must share every bucket")
   }
 
+  test("embed-LSH hot-bucket cap: default is a no-op; mega-cluster of identical vectors stays bounded") {
+    import spark.implicits._
+    val capped = TrainingOps.embedCosinePairsLsh(spark, embDf, minSim = 0.9, nPlanes = 8)
+      .collect().map(_.toSeq).toSeq
+    val off = TrainingOps.embedCosinePairsLsh(spark, embDf, minSim = 0.9, nPlanes = 8,
+        maxBucket = 0)
+      .collect().map(_.toSeq).toSeq
+    assert(capped == off && capped.nonEmpty)
+
+    // 5k IDENTICAL embeddings all share one hyperplane bucket → uncapped
+    // would enumerate 5k²/2 candidates; the cap drops the bucket entirely
+    // (byte-identical media is exact dedup's job, same doctrine as T2/T3)
+    val mega = spark.range(0, 5000)
+      .select(col("id").as("vec_id"),
+        typedLit(Array(0.5f, 0.5f, 0.5f, 0.5f)).as("embedding"))
+    assert(TrainingOps.embedCosinePairsLsh(spark, mega, minSim = 0.9,
+      maxBucket = 100).count() == 0)
+    assert(TrainingOps.hotGroupDropCount(
+      TrainingOps.hyperplaneBuckets(spark, mega, 8), Seq("bucket"), 100) == 1L)
+  }
+
   test("brute-force cosine top-k ranks by similarity") {
     val top = TrainingOps.cosineTopK(spark, embDf, nQueries = 1, k = 3).collect()
     assert(top.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L)) // by sim desc
