@@ -444,6 +444,15 @@ object SparkEntry {
     // deterministic content-hash train/val/test split (dup-leakage-safe)
     "ta_split_counts" -> ((s, d) => TrainingOps.splitAssign(s, t(s, d, "documents"))
       .groupBy(col("split")).agg(count(lit(1)).as("n")).orderBy(col("split"))),
+
+    // deterministic source-weighted corpus mixing (content-hash keep
+    // decision: reproducible, dup-consistent across strata, zero shuffle)
+    "ta_stratified_sample" -> ((s, d) => TrainingOps.stratifiedSample(
+        s, t(s, d, "documents"),
+        Map("src0" -> 0.8, "src1" -> 0.5, "src2" -> 0.25), defaultWeight = 0.1)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      .orderBy(col("source"))),
     "dd_minhash_pairs" -> ((s, d) => TrainingOps.minhashPairs(s, t(s, d, "documents"), minSim = 0.05)),
 
     // the production (100 TB) minhash path END TO END: signatures written
@@ -813,6 +822,24 @@ object SparkEntry {
         |SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
         |  ELSE 'test' END AS split, count(*) AS n
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same FNV-1a64 HUGEINT fold + signed-pmod as ta_split_counts, mod
+    // 10000 sampling buckets, per-source thresholds as a CASE
+    "ta_stratified_sample" ->
+      """WITH h AS (SELECT source, n_chars, list_reduce(
+        |    list_prepend(14695981039346656037::HUGEINT,
+        |      [unicode(text[i])::HUGEINT for i in generate_series(1, length(text))]),
+        |    (a, b) -> (xor(a, b) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+        |  ) AS hu FROM documents),
+        |b AS (SELECT source, n_chars,
+        |  ((CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+        |    THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) % 10000)
+        |   + 10000) % 10000 AS bucket
+        |  FROM h)
+        |SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM b
+        |WHERE bucket < CASE source WHEN 'src0' THEN 8000 WHEN 'src1' THEN 5000
+        |  WHEN 'src2' THEN 2500 ELSE 1000 END
+        |GROUP BY source ORDER BY source""".stripMargin,
     // Exact cross-engine reproduction of the MinHash+banded-LSH pipeline:
     // scala.util.hashing.MurmurHash3.stringHash re-expressed as a UBIGINT
     // mod-2^32 fold (mix/mixLast/finalization constants verbatim; validated

@@ -105,6 +105,28 @@ object TrainingOps {
         .otherwise("test").as("split"))
   }
 
+  /** Deterministic source-weighted sampling — the corpus-MIXING staple next
+    * to [[splitAssign]]: keep a document iff
+    * `pmod(fnv1a64(text), 10000) < weight(stratum) * 10000`. Content-hashed,
+    * so the decision is reproducible across runs/engines/orderings and
+    * exact duplicates are kept or dropped TOGETHER regardless of stratum
+    * (no dup leaking into a downweighted source's sample); narrow and
+    * codegen'd (native fnv1a64) — zero shuffle. Weights outside [0,1] are
+    * rejected; strata absent from the map fall back to `defaultWeight`. */
+  def stratifiedSample(spark: SparkSession, docs: DataFrame,
+      weights: Map[String, Double], strataCol: String = "source",
+      defaultWeight: Double = 0.0): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0.0 && w <= 1.0),
+      "weights must be in [0, 1]")
+    graft.functions.Fnv1a64Expr.register(spark)
+    val bucket = pmod(expr("fnv1a64(text)"), lit(10000))
+    val threshold = weights.foldLeft(lit(math.round(defaultWeight * 10000).toInt): Column) {
+      case (acc, (stratum, w)) =>
+        when(col(strataCol) === stratum, lit(math.round(w * 10000).toInt)).otherwise(acc)
+    }
+    docs.where(bucket < threshold)
+  }
+
   // ---------------------------------------------------------- minhash LSH
 
   final case class Sig(doc_id: Long, sig: Array[Int])

@@ -123,6 +123,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"hot cluster must be dropped: $pairs")
   }
 
+  test("stratified sampling: deterministic, dup-consistent across strata, boundary weights exact") {
+    // weight 1.0 keeps every row of the stratum; 0.0 drops all; decisions
+    // reproduce across calls (content-hashed, no RNG)
+    val keepAll = TrainingOps.stratifiedSample(spark, docsDf,
+      Map("src0" -> 1.0), defaultWeight = 0.0)
+    assert(keepAll.collect().map(_.getAs[String]("source")).forall(_ == "src0"))
+    assert(keepAll.count() == docsDf.where(col("source") === "src0").count())
+
+    val a = TrainingOps.stratifiedSample(spark, docsDf,
+      Map("src0" -> 0.5, "src1" -> 0.5), defaultWeight = 0.5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val b = TrainingOps.stratifiedSample(spark, docsDf,
+      Map("src0" -> 0.5, "src1" -> 0.5), defaultWeight = 0.5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(a == b)
+    // docs 0 and 4 share identical text but different sources: at equal
+    // weights their keep decision MUST agree (dup-consistency — a dup can
+    // never leak into a sample its twin was dropped from at the same weight)
+    assert(a.contains(0L) == a.contains(4L))
+
+    intercept[IllegalArgumentException] {
+      TrainingOps.stratifiedSample(spark, docsDf, Map("src0" -> 1.5))
+    }
+  }
+
   test("materialized signature tables: pairs over a written-and-read-back table are identical") {
     // the 100 TB path: compute signatures ONCE (TableIO.write), run pair
     // generation over the stored table — no per-join-side recompute of the
