@@ -114,12 +114,6 @@ object Bench {
       val ok = passSecs.map(_(i)).filter(_ >= 0)
       name -> (if (ok.isEmpty) -1.0 else ok.min)
     }
-    // 2 decimals: the one stdout JSON line must fit the driver's finite
-    // tail-capture window (round 1's 2.5 kB line was truncated mid-JSON and
-    // parsed as null — ADVICE.md #3); full 3-decimal detail goes to the
-    // BENCH_DETAILS.json side file.
-    val queriesJson = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     val queriesJsonFull = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val totalSec = results.collect { case (_, v) if v >= 0 => v }.sum
@@ -210,11 +204,21 @@ object Bench {
       // short run.
       val lvl4N = new Level(cpus4N, "4n", 2)
       val t4N0 = lvl4N.run(0) // pre-pass under the cheap child
+      // The all-cores child joins the interleave (round 4's committed
+      // artifact showed docs_per_sec_max BELOW the 8-core figure: the max
+      // level ran as its own post-hoc batch and its min-of-4 sat entirely
+      // inside one steal wave — exactly the per-level-batching failure the
+      // criterion levels were already protected from). One draw per pass,
+      // plus a resample guard after the passes.
+      val lvlMax = if (cpusMax != cpus4N) Some(new Level(cpusMax, "max", 1)) else None
+      val maxDraws = scala.collection.mutable.ArrayBuffer.empty[Double]
+      lvlMax.foreach(m => maxDraws += m.run(0))
       val lvlN = new Level(cpusN, "n", 2)
       val passes = (1 to reps).map { p =>
         val tN = lvlN.run(p)
         val t4Na = lvl4N.run(p)
         val t4Nb = lvl4N.run(p + 100)
+        lvlMax.foreach(m => maxDraws += m.run(p))
         val t4N = math.min(t4Na, t4Nb)
         System.err.println(f"BENCH_PASS $p t_n=$tN%.2f t_4n=$t4Na%.2f/$t4Nb%.2f eff=${tN / t4N / (cpus4N.toDouble / cpusN)}%.3f")
         (tN, t4Na, t4Nb)
@@ -233,16 +237,23 @@ object Bench {
       val sec4N = samples4N.min
       val effMatched = secN / (passes.map(_._2).min * (cpus4N.toDouble / cpusN))
 
-      // The all-cores figure is informational (not the criterion), but it
-      // must not be a single steal-polluted sample: round 2 shipped
-      // docs_per_sec_max = 14,949 from a min-of-2 (recorded clean range
-      // 32k–53k) and the headline read as "slower with more cores". One
-      // short-lived child, 1 warm + page-in pre-pass + 3 measured, min.
-      val secMax =
-        if (cpusMax != cpus4N) {
-          val m = new Level(cpusMax, "max", 1)
-          val t = (0 to 3).map(m.run).min; m.close(); t
-        } else sec4N
+      // Resample guard on the all-cores figure: steady-state 32-core
+      // throughput can never sit below the 8-core figure on this box (the
+      // raw-kernel 8→32 hardware ceiling is 0.71 efficiency, nowhere near
+      // <0.25), so min(max draws) > min(4N draws) means every max draw so
+      // far landed inside host-steal waves — draw again, up to 3 extra,
+      // rather than commit a physically impossible ordering (round 2
+      // shipped 14,949 docs/s at 32 cores from a min-of-2; round 4's
+      // driver artifact shipped 17,060 < the 8-core 28,214 the same way).
+      lvlMax.foreach { m =>
+        var extra = 0
+        while (maxDraws.min > sec4N && extra < 3) {
+          maxDraws += m.run(200 + extra); extra += 1
+        }
+        m.close()
+      }
+      val samplesMax: Seq[Double] = maxDraws.toSeq
+      val secMax = if (lvlMax.isDefined) samplesMax.min else sec4N
 
       // free the memory-backed working set (repeated runs would otherwise
       // accumulate gigabytes in /dev/shm)
@@ -253,7 +264,7 @@ object Bench {
       } catch { case _: Throwable => () }
 
       Right(ExtractStats(nDocs, parts, reps, cpusN, cpus4N, cpusMax, secN, sec4N, secMax,
-        samplesN, samples4N, effMatched))
+        samplesN, samples4N, samplesMax, effMatched))
     } catch {
       case e: Throwable => Left(String.valueOf(e.getMessage).take(200)
         .replaceAll("[\"\\\\\n\r\t]", " "))
@@ -283,9 +294,15 @@ object Bench {
         s""""value":-1,"scaling_efficiency":-1,"cores_n":$cpusN,"cores_4n":$cpus4N,""" +
           s""""docs_per_sec_n":-1,"docs_per_sec_max":-1,"cores_max":$cpusMax,"docs":$nDocs"""
     }
+    // Headline fields ONLY on stdout: the driver captures a finite tail of
+    // the process output, and the full per-query map (75 entries in round 4)
+    // pushed the line past that window — BENCH_r04.json shipped
+    // "parsed": null even though criterion numbers were fine. Per-query
+    // timings live in BENCH_DETAILS.json (and on stderr) where line length
+    // is unconstrained.
     println(
       s"""{"metric":"docs_per_sec_4n",$head,"unit":"docs/sec",""" +
-      f""""queries_total_sec":$totalSec%.2f,"queries":$queriesJson,"sf":"$sfDir"}""")
+      f""""queries_total_sec":$totalSec%.2f,"queries_n":${results.size},"sf":"$sfDir"}""")
     if (!spark.sparkContext.isStopped) spark.stop()
   }
 
@@ -294,7 +311,8 @@ object Bench {
       docs: Long, parts: Int, reps: Int,
       coresN: Int, cores4N: Int, coresMax: Int,
       secN: Double, sec4N: Double, secMax: Double,
-      samplesN: Seq[Double], samples4N: Seq[Double], effMatched: Double) {
+      samplesN: Seq[Double], samples4N: Seq[Double], samplesMax: Seq[Double],
+      effMatched: Double) {
     def dpsN: Double = docs / secN
     def dps4N: Double = docs / sec4N
     def dpsMax: Double = docs / secMax
@@ -307,7 +325,9 @@ object Bench {
         f""""docs_per_sec_n":$dpsN%.1f,"docs_per_sec_4n":$dps4N%.1f,""" +
         f""""docs_per_sec_max":$dpsMax%.1f,"scaling_efficiency":$eff%.3f,""" +
         s""""n_samples_n":${samplesN.size},"n_samples_4n":${samples4N.size},""" +
+        s""""n_samples_max":${samplesMax.size},""" +
         s""""samples_n":${arr(samplesN)},"samples_4n":${arr(samples4N)},""" +
+        s""""samples_max":${arr(samplesMax)},""" +
         f""""scaling_efficiency_matched_draws":$effMatched%.3f}"""
   }
 }

@@ -139,20 +139,40 @@ object SparkEntry {
     // for repeated fact-fact joins (plan pinned shuffle-free by
     // BucketingSpec over this exact query; result oracled as a plain join)
     "j8_bucketed_join" -> ((s, d) => {
-      // drop catalog entries AND stale warehouse locations (the in-memory
-      // catalog forgets tables across sessions; the directory survives)
-      Seq("graft_bkt_lineitem", "graft_bkt_orders").foreach { tbl =>
-        s.sql(s"DROP TABLE IF EXISTS $tbl")
-        val p = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"), tbl)
-        val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-        if (fs.exists(p)) fs.delete(p, true)
+      // Build split from probe (VERDICT r4): the bucketed tables
+      // materialize ONCE per source dir (marker-gated, like the signature
+      // store), so repeated invocations — and the bench's min-of-reps —
+      // time the shuffle-free merge join, not two bucketed writes. The
+      // tables are EXTERNAL (explicit path): DROP TABLE never deletes the
+      // files, and a fresh session re-registers the existing bucketed
+      // layout with a CLUSTERED BY DDL instead of rewriting it.
+      def ensure(tbl: String, ddlCols: String, key: String)(build: String => Unit): Unit = {
+        val loc = graft.core.Materialize.warehousePath(s, tbl)
+        val built = graft.core.Materialize.onceAt(s, loc, s"bucketed16:$d") {
+          s.sql(s"DROP TABLE IF EXISTS $tbl") // stale entry from another source dir
+          val fs = loc.getFileSystem(s.sessionState.newHadoopConf())
+          if (fs.exists(loc)) fs.delete(loc, true)
+          build(loc.toString)
+        }
+        if (!built && !s.catalog.tableExists(tbl))
+          s.sql(s"""CREATE TABLE $tbl ($ddlCols) USING PARQUET
+                   |CLUSTERED BY ($key) SORTED BY ($key) INTO 16 BUCKETS
+                   |LOCATION '$loc'""".stripMargin)
       }
-      t(s, d, "lineitem").select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-        .write.mode("overwrite").bucketBy(16, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable("graft_bkt_lineitem")
-      t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
-        .write.mode("overwrite").bucketBy(16, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable("graft_bkt_orders")
+      ensure("graft_bkt_lineitem",
+          "l_orderkey BIGINT, l_extendedprice DOUBLE, l_discount DOUBLE", "l_orderkey") { loc =>
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+          .write.mode("overwrite").option("path", loc)
+          .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable("graft_bkt_lineitem")
+      }
+      ensure("graft_bkt_orders",
+          "o_orderkey BIGINT, o_orderpriority STRING", "o_orderkey") { loc =>
+        t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+          .write.mode("overwrite").option("path", loc)
+          .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable("graft_bkt_orders")
+      }
       s.table("graft_bkt_lineitem").hint("merge")
         .join(s.table("graft_bkt_orders"), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
@@ -460,14 +480,18 @@ object SparkEntry {
     // per-join-side recompute of the signature stage. Same oracle as
     // dd_minhash_pairs (the result is identical by construction; OpsSpec
     // pins it, and this makes the driver's hash gate pin it too). Fixed
-    // warehouse location (no RNG/tempdir — engine-path determinism).
+    // warehouse location (no RNG/tempdir — engine-path determinism); the
+    // write is marker-gated (Materialize.onceAt) so explain-only consumers
+    // (tools/Plans) and repeated bench reps don't re-run the signature job
+    // at every DataFrame construction — round-4 ADVICE #1.
     "dd_minhash_stored" -> ((s, d) => {
-      val loc = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), "graft_minhash_sigs").toString
-      graft.core.TableIO.write(
-        TrainingOps.minhashSignatures(s, t(s, d, "documents")), loc)
+      val loc = graft.core.Materialize.warehousePath(s, "graft_minhash_sigs")
+      graft.core.Materialize.onceAt(s, loc, s"minhash_sigs:k64:$d") {
+        graft.core.TableIO.write(
+          TrainingOps.minhashSignatures(s, t(s, d, "documents")), loc.toString)
+      }
       TrainingOps.minhashPairsFromSignatures(
-        s, graft.core.TableIO.read(s, loc), minSim = 0.05)
+        s, graft.core.TableIO.read(s, loc.toString), minSim = 0.05)
     }),
     "dd_simhash_pairs" -> ((s, d) => TrainingOps.simhashPairs(s, t(s, d, "documents"), maxHamming = 8)),
     "dd_ngram_jaccard" -> ((s, d) => TrainingOps.ngramJaccardPairs(s, t(s, d, "documents"), minJaccard = 0.02)),

@@ -69,4 +69,31 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
     spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
   }
+
+  test("j8 materialize-once: dropped catalog entries re-register the existing " +
+      "bucketed files (no rebuild) and the join stays shuffle-free") {
+    val first = SparkEntry.queries("j8_bucketed_join")(spark, "/root/testdata/sf0.001")
+    val want = first.collect().toSeq
+    // the tables are EXTERNAL: dropping the catalog entries models a fresh
+    // session against a warehouse that already holds the bucketed files +
+    // marker — the query must take the register-only DDL branch, not rewrite
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+    val loc = graft.core.Materialize.warehousePath(spark, "graft_bkt_lineitem")
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(loc, "_graft_src")),
+      "marker must survive DROP TABLE (external table)")
+    val mtime = fs.listStatus(loc).map(_.getModificationTime).max
+
+    val again = SparkEntry.queries("j8_bucketed_join")(spark, "/root/testdata/sf0.001")
+    assert(again.collect().toSeq == want)
+    val plan = again.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val smj = plan.indexOf("SortMergeJoin")
+    assert(smj >= 0 && !plan.substring(smj).contains("Exchange"),
+      s"re-registered bucketed join shuffles:\n$plan")
+    assert(fs.listStatus(loc).map(_.getModificationTime).max == mtime,
+      "register-only path must not rewrite the bucketed files")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+  }
 }
