@@ -21,6 +21,33 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Materialized extraction output for the kernel-fed queries' oracles:
+    * the 300-doc generated corpus extracted once, spans EXPLODED to scalar
+    * rows (doc_id, seq, kind, text) and stored in the warehouse
+    * (marker-gated — one build per warehouse, Materialize.onceAt). DuckDB
+    * cannot replay the kernel, but it CAN replay every aggregation /
+    * linking / chunking computation downstream of it — so dumping the
+    * kernel's deterministic output puts those formerly rows-only queries
+    * on the hash-compared oracle surface (VERDICT r4 #4): the oracle reads
+    * this table (via __WAREHOUSE__, substituted by Verify) while the query
+    * recomputes from the kernel, pinning recompute == stored == replayed.
+    * The spans themselves are pinned by the kernel/golden parity suite. */
+  private def extractSpansStore(s: SparkSession): String = {
+    import s.implicits._
+    val loc = graft.core.Materialize.warehousePath(s, "graft_extract_spans")
+    graft.core.Materialize.onceAt(s, loc, "gen:300:v1") {
+      val spans = s.range(0L, 300L)
+        .map(i => Extractor.extractDoc(SpanGen.genDoc(SpanGen.docId(i)))).toDF()
+      graft.core.TableIO.write(
+        spans.select(col("doc_id"),
+            posexplode_outer(col("spans")).as(Seq("seq", "s")))
+          .select(col("doc_id"), col("seq").cast("long").as("seq"),
+            col("s.kind").as("kind"), col("s.text").as("text")),
+        loc.toString)
+    }
+    loc.toString
+  }
+
   /** Flagship: the extraction pipeline on a generated interleaved corpus —
     * per-kind span histogram. Driver smoke-checks rows>0 on sf0.001. */
   def entry(spark: SparkSession): DataFrame = {
@@ -519,15 +546,19 @@ object SparkEntry {
         .withColumnRenamed("media_id", "vec_id"))),
 
     // -------------------------- entity linking (J2/F7, extract.py:296-377)
-    "j4_entity_link" -> ((s, _) => EntityLink.linkStats(s, 300)),
+    // oracled since round 5: DuckDB replays the linking algebra (exact tier,
+    // LIKE-containment tier, cluster min) over the materialized extraction
+    // spans — see extractSpansStore
+    "j4_entity_link" -> ((s, _) => { extractSpansStore(s); EntityLink.linkStats(s, 300) }),
 
     // alias sets + confidence bucketing per canonical (extract.py:363-377
     // export carries aliases; models.py:95-99 ConfidenceLevel) — scalar face
-    "j7_entity_aliases" -> ((s, _) => EntityLink.aliasStats(s, 300)),
+    "j7_entity_aliases" -> ((s, _) => { extractSpansStore(s); EntityLink.aliasStats(s, 300) }),
 
     // relationship analog: entity co-occurrence graph (extract.py:99-103,
     // entity_links models.py:114-122) — same-doc canonical pairs
-    "j6_cooccurrence" -> ((s, _) => EntityLink.cooccurrence(s, 300, minDocs = 2).limit(100)),
+    "j6_cooccurrence" -> ((s, _) =>
+      { extractSpansStore(s); EntityLink.cooccurrence(s, 300, minDocs = 2).limit(100) }),
 
     // J3: verification join — kernel output vs independent golden oracle,
     // full outer on doc_id, span-sequence equality per doc (SURVEY §2.3 J3)
@@ -546,7 +577,11 @@ object SparkEntry {
     }),
 
     // ---------------------------------- chunker (F6, extract.py:215-237)
+    // oracled since round 5: DuckDB rebuilds each doc's "\n\n"-joined text
+    // from the materialized spans and replays the greedy pack as the same
+    // list_reduce fold f6_chunker_docs validated
     "f6_chunker" -> ((s, _) => {
+      extractSpansStore(s)
       import s.implicits._
       s.range(0L, 300L).map { i =>
         val doc = Extractor.extractDoc(SpanGen.genDoc(SpanGen.docId(i)))
@@ -586,7 +621,11 @@ object SparkEntry {
     // ------------------------- curation funnel (extract → filter → dedup)
     // all stage counts in ONE conditional-aggregation scan of the extraction
     // (the round-1 crossJoin-of-counts shape recomputed the pipeline 3×)
+    // oracled since round 5: DuckDB rebuilds each doc's space-joined text
+    // from the materialized spans and replays the quality gate + distinct
+    // content hash — the whole funnel algebra, hash-compared
     "cu_curation_funnel" -> ((s, _) => {
+      extractSpansStore(s)
       import s.implicits._
       val spans = s.range(0L, 300L)
         .map(i => Extractor.extractDoc(SpanGen.genDoc(SpanGen.docId(i)))).toDF()
@@ -594,15 +633,19 @@ object SparkEntry {
     }),
 
     // ------------------------------------- extraction pipeline (north rule)
-    // non-SQL-expressible: verified by golden-equality specs instead
-    "ex_kind_histogram" -> ((s, _) => entry(s)),
+    // the kernel itself is not SQL-expressible (golden-equality specs pin
+    // it); since round 5 these aggregation faces ARE oracled — DuckDB
+    // re-aggregates the materialized extraction spans (extractSpansStore)
+    "ex_kind_histogram" -> ((s, _) => { extractSpansStore(s); entry(s) }),
     "ex_spans_per_doc" -> ((s, _) => {
+      extractSpansStore(s)
       import s.implicits._
       s.range(0L, 300L).map(i => Extractor.extractDoc(SpanGen.genDoc(SpanGen.docId(i))))
         .select(col("doc_id"), size(col("spans")).cast("long").as("n_spans"))
         .orderBy(col("doc_id")).limit(100)
     }),
     "ex_entity_top" -> ((s, _) => {
+      extractSpansStore(s)
       import s.implicits._
       s.range(0L, 300L).map(i => Extractor.extractDoc(SpanGen.genDoc(SpanGen.docId(i))))
         .select(explode(col("spans")).as("s"))
@@ -1022,46 +1065,189 @@ object SparkEntry {
         |  list_cosine_similarity(q.embedding, e.embedding) AS s
         | FROM embeddings q JOIN embeddings e ON q.vec_id < 8 AND e.vec_id != q.vec_id)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-    // reference-exact greedy paragraph packing replayed as a list_reduce
-    // fold with a struct accumulator over integer paragraph lengths:
-    // paraLen = len+2 (the +2 applies to the FIRST para of a chunk too),
-    // flush strictly-greater, oversize single para = own chunk; chunk
-    // length = running cur - 2 (one trailing separator removed)
+    // reference-exact greedy paragraph packing replayed as a RECURSIVE CTE
+    // over integer paragraph lengths: paraLen = len+2 (the +2 applies to
+    // the FIRST para of a chunk too), flush strictly-greater, oversize
+    // single para = own chunk; chunk length = running cur - 2 (one trailing
+    // separator removed). A list_reduce fold expressed the same recurrence
+    // through round 4, but DuckDB 1.0.0's list_reduce mis-evaluates
+    // CASE-in-lambda folds on VECTORIZED batches (measured on the spans
+    // store: 26/299 rows wrong in a batch, all correct row-at-a-time) —
+    // round 4 passed only because that corpus's batch layout dodged the
+    // bug; the recursive CTE advances every doc one paragraph per
+    // iteration, row-wise by construction.
     "f6_chunker_docs" ->
-      """WITH w AS (
+      """WITH RECURSIVE w AS (
         |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
         |  FROM documents),
         |p AS (
         |  SELECT doc_id,
-        |    [array_to_string(ws[i:i+6], ' ') for i in generate_series(1, len(ws), 7)] AS paras
+        |    [length(array_to_string(ws[i:i+6], ' '))
+        |     for i in generate_series(1, len(ws), 7)] AS lens
         |  FROM w),
         |m AS (
-        |  SELECT doc_id, paras,
-        |    CASE WHEN len(paras) = 0 THEN 0
-        |      ELSE list_sum([length(q) for q in paras])::BIGINT + 2*(len(paras)-1) END AS t2len
+        |  SELECT doc_id, lens,
+        |    CASE WHEN len(lens) = 0 THEN 0
+        |      ELSE list_sum(lens)::BIGINT + 2*(len(lens)-1) END AS t2len
         |  FROM p),
-        |f AS (
-        |  SELECT doc_id, t2len,
-        |    CASE WHEN t2len <= 80 THEN NULL
-        |    ELSE list_reduce(
-        |      list_prepend(
-        |        struct_pack(cur := 0::BIGINT, n := 0::BIGINT, mx := 0::BIGINT, curk := 0::BIGINT, l := 0::BIGINT),
-        |        [struct_pack(cur := 0::BIGINT, n := 0::BIGINT, mx := 0::BIGINT, curk := 0::BIGINT,
-        |                     l := length(q)::BIGINT) for q in paras]),
-        |      (a, x) -> CASE WHEN a.cur + x.l + 2 > 80 AND a.curk > 0
-        |        THEN struct_pack(cur := x.l + 2, n := a.n + 1,
-        |               mx := greatest(a.mx, a.cur - 2), curk := 1::BIGINT, l := 0::BIGINT)
-        |        ELSE struct_pack(cur := a.cur + x.l + 2, n := a.n, mx := a.mx,
-        |               curk := a.curk + 1, l := 0::BIGINT) END)
-        |    END AS st
-        |  FROM m)
+        |r AS (
+        |  SELECT doc_id, lens, 1 AS i,
+        |    0::BIGINT AS cur, 0::BIGINT AS n, 0::BIGINT AS mx, 0::BIGINT AS curk
+        |  FROM m WHERE t2len > 80
+        |  UNION ALL
+        |  SELECT doc_id, lens, i + 1,
+        |    CASE WHEN cur + lens[i] + 2 > 80 AND curk > 0
+        |      THEN lens[i] + 2 ELSE cur + lens[i] + 2 END,
+        |    CASE WHEN cur + lens[i] + 2 > 80 AND curk > 0 THEN n + 1 ELSE n END,
+        |    CASE WHEN cur + lens[i] + 2 > 80 AND curk > 0
+        |      THEN greatest(mx, cur - 2) ELSE mx END,
+        |    CASE WHEN cur + lens[i] + 2 > 80 AND curk > 0 THEN 1::BIGINT ELSE curk + 1 END
+        |  FROM r WHERE i <= len(lens)),
+        |fin AS (
+        |  SELECT doc_id, n + CASE WHEN curk > 0 THEN 1 ELSE 0 END AS n_chunks,
+        |    greatest(mx, CASE WHEN curk > 0 THEN cur - 2 ELSE 0 END) AS max_chunk_chars
+        |  FROM r WHERE i = len(lens) + 1)
         |SELECT doc_id,
-        |  CASE WHEN t2len <= 80 THEN 1
-        |    ELSE st.n + CASE WHEN st.curk > 0 THEN 1 ELSE 0 END END AS n_chunks,
-        |  CASE WHEN t2len <= 80 THEN t2len
-        |    ELSE greatest(st.mx, CASE WHEN st.curk > 0 THEN st.cur - 2 ELSE 0 END) END AS max_chunk_chars
-        |FROM f ORDER BY doc_id""".stripMargin,
+        |  CASE WHEN t2len <= 80 THEN 1 ELSE fin.n_chunks END AS n_chunks,
+        |  CASE WHEN t2len <= 80 THEN t2len ELSE fin.max_chunk_chars END AS max_chunk_chars
+        |FROM m LEFT JOIN fin USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // the kernel-fed chunker face: same greedy-pack recurrence at cap 400
+    // over each doc's "\n\n"-joined text spans, rebuilt from the
+    // materialized extraction store (extractSpansStore) — string_agg over
+    // only the kind='text' rows in span order
+    "f6_chunker" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    coalesce(string_agg(CASE WHEN kind = 'text' THEN text END,
+        |      chr(10) || chr(10) ORDER BY seq), '') AS text
+        |  FROM read_parquet('__WAREHOUSE__/graft_extract_spans/*.parquet')
+        |  GROUP BY doc_id),
+        |p AS (SELECT doc_id, length(text) AS tlen,
+        |    [length(q) for q in str_split(text, chr(10) || chr(10))] AS lens FROM t),
+        |r AS (
+        |  SELECT doc_id, lens, 1 AS i,
+        |    0::BIGINT AS cur, 0::BIGINT AS n, 0::BIGINT AS mx, 0::BIGINT AS curk
+        |  FROM p WHERE tlen > 400
+        |  UNION ALL
+        |  SELECT doc_id, lens, i + 1,
+        |    CASE WHEN cur + lens[i] + 2 > 400 AND curk > 0
+        |      THEN lens[i] + 2 ELSE cur + lens[i] + 2 END,
+        |    CASE WHEN cur + lens[i] + 2 > 400 AND curk > 0 THEN n + 1 ELSE n END,
+        |    CASE WHEN cur + lens[i] + 2 > 400 AND curk > 0
+        |      THEN greatest(mx, cur - 2) ELSE mx END,
+        |    CASE WHEN cur + lens[i] + 2 > 400 AND curk > 0 THEN 1::BIGINT ELSE curk + 1 END
+        |  FROM r WHERE i <= len(lens)),
+        |fin AS (
+        |  SELECT doc_id, n + CASE WHEN curk > 0 THEN 1 ELSE 0 END AS n_chunks,
+        |    greatest(mx, CASE WHEN curk > 0 THEN cur - 2 ELSE 0 END) AS max_chunk_chars
+        |  FROM r WHERE i = len(lens) + 1)
+        |SELECT doc_id,
+        |  CASE WHEN tlen <= 400 THEN 1 ELSE fin.n_chunks END AS n_chunks,
+        |  CASE WHEN tlen <= 400 THEN tlen ELSE fin.max_chunk_chars END AS max_chunk_chars
+        |FROM p LEFT JOIN fin USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // ---- kernel-fed queries, oracled over the materialized extraction
+    // spans (extractSpansStore; __WAREHOUSE__ substituted by Verify): the
+    // kernel itself is pinned by golden parity; these replay everything
+    // DOWNSTREAM of it — aggregation, linking, funnel — in DuckDB.
+    "ex_kind_histogram" ->
+      """SELECT kind, count(*) AS n
+        |FROM read_parquet('__WAREHOUSE__/graft_extract_spans/*.parquet')
+        |WHERE kind IS NOT NULL GROUP BY kind ORDER BY kind""".stripMargin,
+    "ex_spans_per_doc" ->
+      """SELECT doc_id, CAST(count(kind) AS BIGINT) AS n_spans
+        |FROM read_parquet('__WAREHOUSE__/graft_extract_spans/*.parquet')
+        |GROUP BY doc_id ORDER BY doc_id LIMIT 100""".stripMargin,
+    "ex_entity_top" ->
+      """SELECT kind, count(*) AS n
+        |FROM read_parquet('__WAREHOUSE__/graft_extract_spans/*.parquet')
+        |WHERE kind LIKE 'entity:%' GROUP BY kind ORDER BY n DESC, kind LIMIT 20""".stripMargin,
+    // funnel replay: rebuild each doc's space-joined text (string_agg over
+    // kind='text' rows in span order; aggregates skip the NULLed non-text
+    // rows), then the CurationJob quality predicate + distinct content
+    // hash. words=0 short-circuits the ratio conjuncts to false in both
+    // engines (Spark: NaN comparisons are false; DuckDB: false AND NULL).
+    "cu_curation_funnel" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    coalesce(string_agg(CASE WHEN kind = 'text' THEN text END, ' ' ORDER BY seq), '')
+        |      AS text
+        |  FROM read_parquet('__WAREHOUSE__/graft_extract_spans/*.parquet')
+        |  GROUP BY doc_id),
+        |q AS (SELECT text,
+        |    len(regexp_extract_all(text, '\S+')) AS words,
+        |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is)\b')) AS stops,
+        |    length(text) AS nchars FROM t),
+        |g AS (SELECT text, (words >= 8
+        |    AND CAST(stops AS DOUBLE) / words <= 0.9
+        |    AND (CAST(nchars AS DOUBLE) - (words - 1)) / words >= 2.0) AS pass FROM q)
+        |SELECT CAST(count(*) AS BIGINT) AS docs_in,
+        |  CAST(coalesce(sum(CASE WHEN pass THEN 1 ELSE 0 END), 0) AS BIGINT) AS quality_pass,
+        |  CAST(count(DISTINCT CASE WHEN pass THEN md5(text) END) AS BIGINT) AS curated,
+        |  CAST(coalesce(sum(CASE WHEN pass THEN 1 ELSE 0 END), 0) AS BIGINT) AS copies_sum
+        |FROM g""".stripMargin,
+    // co-occurrence replay over the distinct (doc, type, norm) mention
+    // projection; the (n_docs DESC, keys) order is total, so LIMIT is
+    // deterministic in both engines
+    "j6_cooccurrence" ->
+      """WITH m AS (SELECT DISTINCT doc_id, substr(kind, 8) AS entity_type,
+        |    lower(text) AS norm
+        |  FROM read_parquet('__WAREHOUSE__/graft_extract_spans/*.parquet')
+        |  WHERE kind LIKE 'entity:%'),
+        |e AS (SELECT a.entity_type AS type_a, a.norm AS norm_a,
+        |    b.entity_type AS type_b, b.norm AS norm_b,
+        |    count(*) AS n_docs, min(a.doc_id) AS evidence_doc
+        |  FROM m a JOIN m b ON a.doc_id = b.doc_id
+        |    AND (a.entity_type < b.entity_type
+        |      OR (a.entity_type = b.entity_type AND a.norm < b.norm))
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT type_a, norm_a, type_b, norm_b, 'co_mentioned' AS relation,
+        |  n_docs, evidence_doc
+        |FROM e WHERE n_docs >= 2
+        |ORDER BY n_docs DESC, type_a, norm_a, type_b, norm_b LIMIT 100""".stripMargin,
+    // alias-stats replay: exact-tier canonicals + the confidence bucket
+    // (0.5 + n_docs·0.1 in DOUBLE arithmetic — DuckDB decimal literals
+    // would use exact decimal math and disagree at the .9/.7 boundaries)
+    "j7_entity_aliases" ->
+      """WITH m AS (SELECT doc_id, substr(kind, 8) AS entity_type,
+        |    text AS raw, lower(text) AS norm
+        |  FROM read_parquet('__WAREHOUSE__/graft_extract_spans/*.parquet')
+        |  WHERE kind LIKE 'entity:%'),
+        |c AS (SELECT entity_type, norm, count(DISTINCT doc_id) AS n_docs,
+        |    count(DISTINCT raw) AS n_aliases FROM m GROUP BY 1, 2),
+        |l AS (SELECT entity_type, n_aliases,
+        |    CASE WHEN conf >= 0.9 THEN 'confirmed' WHEN conf >= 0.7 THEN 'probable'
+        |         WHEN conf >= 0.4 THEN 'possible' ELSE 'unresolved' END AS confidence_level
+        |  FROM (SELECT *, least(CAST(1.0 AS DOUBLE),
+        |      CAST(0.5 AS DOUBLE) + n_docs * CAST(0.1 AS DOUBLE)) AS conf FROM c))
+        |SELECT entity_type, confidence_level, count(*) AS n_canonicals,
+        |  CAST(sum(n_aliases) AS BIGINT) AS total_aliases,
+        |  CAST(max(n_aliases) AS BIGINT) AS max_aliases
+        |FROM l GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // full linking replay: exact tier, then the containment tier as a
+    // direct substring join over the deduped canonicals (the engine's
+    // 4-gram blocking is a candidate superset with exact contains()
+    // verification, so the plain quadratic join over this small set is
+    // semantically identical), cluster representative = min over edges
+    "j4_entity_link" ->
+      """WITH m AS (SELECT doc_id, substr(kind, 8) AS entity_type, lower(text) AS norm
+        |  FROM read_parquet('__WAREHOUSE__/graft_extract_spans/*.parquet')
+        |  WHERE kind LIKE 'entity:%'),
+        |c AS (SELECT entity_type, norm, count(*) AS occurrences FROM m GROUP BY 1, 2),
+        |s AS (SELECT entity_type, norm FROM c WHERE length(norm) > 3),
+        |p AS (SELECT a.entity_type, a.norm AS short, b.norm AS big
+        |  FROM s a JOIN s b ON a.entity_type = b.entity_type AND a.norm <> b.norm
+        |    AND contains(b.norm, a.norm)),
+        |e AS (SELECT entity_type, short AS norm, least(short, big) AS cand FROM p
+        |  UNION ALL SELECT entity_type, big, least(short, big) FROM p),
+        |k AS (SELECT entity_type, norm, min(cand) AS canonical_norm FROM e GROUP BY 1, 2),
+        |l AS (SELECT c.entity_type, coalesce(k.canonical_norm, c.norm) AS canonical,
+        |    c.occurrences
+        |  FROM c LEFT JOIN k ON c.entity_type = k.entity_type AND c.norm = k.norm)
+        |SELECT entity_type, count(*) AS n_canonicals,
+        |  count(DISTINCT canonical) AS n_clusters,
+        |  CAST(sum(occurrences) AS BIGINT) AS n_mentions
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
     "ta_token_counts" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(text,'\S+')) AS BIGINT) AS ws_tokens,
         | CAST(len(regexp_extract_all(text,'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens

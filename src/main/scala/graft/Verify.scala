@@ -44,8 +44,15 @@ object Verify {
     // __SF_DIR__ resolves to the actual table directory at dump time — it
     // lets file-listing oracles (read_blob globs) target the same dir the
     // queries ran against; the dumped JSON is what the checker executes.
+    // __WAREHOUSE__ resolves the same way to this session's warehouse as a
+    // plain filesystem path (scheme stripped — DuckDB read_parquet takes
+    // paths, not file: URIs): the kernel-fed queries' oracles replay their
+    // computation over the materialized extraction spans stored there.
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir")).toUri.getPath
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => k -> v.replace("__SF_DIR__", sfDir) }
+      .map { case (k, v) =>
+        k -> v.replace("__SF_DIR__", sfDir).replace("__WAREHOUSE__", warehouse) }
       .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
