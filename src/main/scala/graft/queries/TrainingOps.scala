@@ -112,14 +112,17 @@ object TrainingOps {
     * exact duplicates are kept or dropped TOGETHER regardless of stratum
     * (no dup leaking into a downweighted source's sample); narrow and
     * codegen'd (native fnv1a64) — zero shuffle. Weights outside [0,1] are
-    * rejected; strata absent from the map fall back to `defaultWeight`. */
+    * rejected; strata absent from the map fall back to `defaultWeight`.
+    * `contentCol` names the hashed content column (mirrors `strataCol`'s
+    * parameterization — a caller with a differently-named text column
+    * would otherwise get an analysis error or hash the wrong column). */
   def stratifiedSample(spark: SparkSession, docs: DataFrame,
       weights: Map[String, Double], strataCol: String = "source",
-      defaultWeight: Double = 0.0): DataFrame = {
+      defaultWeight: Double = 0.0, contentCol: String = "text"): DataFrame = {
     require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0.0 && w <= 1.0),
       "weights must be in [0, 1]")
     graft.functions.Fnv1a64Expr.register(spark)
-    val bucket = pmod(expr("fnv1a64(text)"), lit(10000))
+    val bucket = pmod(expr(s"fnv1a64($contentCol)"), lit(10000))
     val threshold = weights.foldLeft(lit(math.round(defaultWeight * 10000).toInt): Column) {
       case (acc, (stratum, w)) =>
         when(col(strataCol) === stratum, lit(math.round(w * 10000).toInt)).otherwise(acc)
@@ -367,7 +370,11 @@ object TrainingOps {
       .select(col("doc_a"), col("doc_b"),
         // jaccard is a ratio of exact integers — it CAN land exactly on a
         // .xxxx5 boundary (e.g. |A∩B|/|A∪B| = 1/32), where Spark round()
-        // and DuckDB round() disagree; floor half-up is engine-identical
+        // and DuckDB round() disagree; floor half-up is engine-identical.
+        // NB the floor(x·10⁴+0.5)/10⁴ form is half-up for x ≥ 0 only (for
+        // x < 0 it rounds the .xxxx5 tie toward +inf) — fine across the
+        // whole similarity family: every graded column is non-negative or
+        // filtered at a positive minimum before the tie matters
         (floor(col("inter").cast("double") /
           (col("za.sz") + col("zb.sz") - col("inter")) * 1e4 + 0.5) / 1e4).as("jaccard"))
       .where(col("jaccard") >= minJaccard)

@@ -94,12 +94,16 @@ object DedupScale {
       val (n0, mh0, ms0, ng0, ns0) = rows.head
       val (n1, mh1, ms1, ng1, ns1) = rows.last
       val r = math.log(n1.toDouble / n0)
-      def alpha(a: Double, b: Double): Double = math.log(b / a) / r
-      println(f"DEDUPSCALE growth n=${n0}->${n1}: " +
-        f"minhash_pairs_alpha=${alpha(mh0.toDouble, mh1.toDouble)}%.2f " +
-        f"minhash_sec_alpha=${alpha(ms0, ms1)}%.2f " +
-        f"ngram_pairs_alpha=${alpha(ng0.toDouble, ng1.toDouble)}%.2f " +
-        f"ngram_sec_alpha=${alpha(ns0, ns1)}%.2f (1.0 = linear, 2.0 = quadratic)")
+      // a zero head count (aggressive cap / high threshold leaves no pairs
+      // at the smallest size) has no growth exponent — print n/a, not the
+      // NaN/Infinity a log of 0 would produce
+      def alpha(a: Double, b: Double): String =
+        if (a <= 0 || b <= 0 || r == 0) "n/a" else f"${math.log(b / a) / r}%.2f"
+      println(s"DEDUPSCALE growth n=$n0->$n1: " +
+        s"minhash_pairs_alpha=${alpha(mh0.toDouble, mh1.toDouble)} " +
+        s"minhash_sec_alpha=${alpha(ms0, ms1)} " +
+        s"ngram_pairs_alpha=${alpha(ng0.toDouble, ng1.toDouble)} " +
+        s"ngram_sec_alpha=${alpha(ns0, ns1)} (1.0 = linear, 2.0 = quadratic)")
     }
     spark.stop()
   }
