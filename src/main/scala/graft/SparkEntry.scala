@@ -522,6 +522,21 @@ object SparkEntry {
     }),
     "dd_simhash_pairs" -> ((s, d) => TrainingOps.simhashPairs(s, t(s, d, "documents"), maxHamming = 8)),
     "dd_ngram_jaccard" -> ((s, d) => TrainingOps.ngramJaccardPairs(s, t(s, d, "documents"), minJaccard = 0.02)),
+
+    // the n-gram family's stored path (mirrors dd_minhash_stored): shingle
+    // table written once through TableIO (marker-gated), pair generation
+    // over the store — the lazy plan references the shingle stage up to 4×
+    // (df probe, join-back, sizes, posting lists); the stored path scans
+    // parquet instead. Same oracle as dd_ngram_jaccard by construction.
+    "dd_ngram_stored" -> ((s, d) => {
+      val loc = graft.core.Materialize.warehousePath(s, "graft_ngram_shingles")
+      graft.core.Materialize.onceAt(s, loc, s"ngram_shingles:n3:$d") {
+        graft.core.TableIO.write(
+          TrainingOps.ngramShingles(s, t(s, d, "documents")), loc.toString)
+      }
+      TrainingOps.ngramJaccardFromShingles(
+        s, graft.core.TableIO.read(s, loc.toString), minJaccard = 0.02)
+    }),
     "dd_embed_cosine" -> ((s, d) => TrainingOps.embedCosinePairs(s, t(s, d, "embeddings"), minSim = 0.4)),
     "dd_embed_lsh" -> ((s, d) => TrainingOps.embedCosinePairsLsh(s, t(s, d, "embeddings"), minSim = 0.4)),
 
@@ -659,11 +674,13 @@ object SparkEntry {
         .orderBy(col("n").desc, col("kind")).limit(20)
     }))
 
-  // dd_minhash_stored is the same computation over a materialized signature
-  // table — it shares dd_minhash_pairs' oracle verbatim (appended at the end)
+  // dd_minhash_stored / dd_ngram_stored are the same computations over a
+  // materialized signature/shingle table — each shares its lazy twin's
+  // oracle verbatim (appended at the end)
   def oracleSql: Map[String, String] = {
     val base = baseOracleSql
-    base + ("dd_minhash_stored" -> base("dd_minhash_pairs"))
+    base + ("dd_minhash_stored" -> base("dd_minhash_pairs")) +
+      ("dd_ngram_stored" -> base("dd_ngram_jaccard"))
   }
 
   private def baseOracleSql: Map[String, String] = OracleAnn.entries ++ Map(

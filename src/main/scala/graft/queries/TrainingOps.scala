@@ -324,12 +324,30 @@ object TrainingOps {
     * tune it to the largest tolerable bucket (candidates ≤ maxDf² per hot
     * shingle). maxDf ≤ 0 disables the cap. */
   def ngramJaccardPairs(spark: SparkSession, docs: DataFrame,
-      n: Int = 3, minJaccard: Double = 0.05, maxDf: Int = 10000): DataFrame = {
+      n: Int = 3, minJaccard: Double = 0.05, maxDf: Int = 10000): DataFrame =
+    ngramJaccardFromShingles(spark, ngramShingles(spark, docs, n), minJaccard, maxDf)
+
+  /** The exploded shingle table (doc_id, sh) — the n-gram family's
+    * materialization seam, mirroring [[minhashSignatures]] /
+    * [[simhashFingerprints]]: write once (`TableIO.write`) and run pair
+    * generation over the stored table. The lazy composed plan references
+    * the shingle stage up to 4× (df probe + join-back + sizes + posting
+    * lists), each a recompute of this narrow flatMap; over a stored table
+    * each is a parquet scan. Equivalence pinned in OpsSpec. */
+  def ngramShingles(spark: SparkSession, docs: DataFrame, n: Int = 3): DataFrame = {
     import spark.implicits._
-    val shAll = docs.select(col("doc_id").cast("long"), col("text"))
+    docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) => shingles(text, n).iterator.map(s => (id, fnv1a64(s))) }
       .toDF("doc_id", "sh")
+  }
+
+  /** Pair generation over an existing shingle table (see [[ngramShingles]]
+    * for the contract; [[ngramJaccardPairs]] composes the two for the lazy
+    * single-query path). */
+  def ngramJaccardFromShingles(spark: SparkSession, shAll: DataFrame,
+      minJaccard: Double = 0.05, maxDf: Int = 10000): DataFrame = {
+    import spark.implicits._
 
     // With a cap, prefilter hot shingles by df FIRST (a count aggregation —
     // partial-agg safe, so the probe never materializes the hot posting

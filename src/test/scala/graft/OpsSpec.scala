@@ -169,6 +169,14 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sLazy = TrainingOps.simhashPairs(spark, docsDf, maxHamming = 8)
       .collect().map(_.toSeq).toSeq
     assert(sStored == sLazy && sStored.nonEmpty)
+
+    graft.core.TableIO.write(TrainingOps.ngramShingles(spark, docsDf), s"$tmp/ng_sh")
+    val nStored = TrainingOps.ngramJaccardFromShingles(spark,
+        graft.core.TableIO.read(spark, s"$tmp/ng_sh"), minJaccard = 0.02)
+      .collect().map(_.toSeq).toSeq
+    val nLazy = TrainingOps.ngramJaccardPairs(spark, docsDf, minJaccard = 0.02)
+      .collect().map(_.toSeq).toSeq
+    assert(nStored == nLazy && nStored.nonEmpty)
   }
 
   test("k-mismatched signature table fails fast instead of producing garbage candidates") {
