@@ -521,6 +521,20 @@ object SparkEntry {
         s, graft.core.TableIO.read(s, loc.toString), minSim = 0.05)
     }),
     "dd_simhash_pairs" -> ((s, d) => TrainingOps.simhashPairs(s, t(s, d, "documents"), maxHamming = 8)),
+
+    // the simhash family's stored path (completes the trio with
+    // dd_minhash_stored / dd_ngram_stored): fingerprint table written once
+    // (marker-gated), banded pair generation over the store; shares
+    // dd_simhash_pairs' oracle by construction
+    "dd_simhash_stored" -> ((s, d) => {
+      val loc = graft.core.Materialize.warehousePath(s, "graft_simhash_fps")
+      graft.core.Materialize.onceAt(s, loc, s"simhash_fps:$d") {
+        graft.core.TableIO.write(
+          TrainingOps.simhashFingerprints(s, t(s, d, "documents")), loc.toString)
+      }
+      TrainingOps.simhashPairsFromFingerprints(
+        s, graft.core.TableIO.read(s, loc.toString), maxHamming = 8)
+    }),
     "dd_ngram_jaccard" -> ((s, d) => TrainingOps.ngramJaccardPairs(s, t(s, d, "documents"), minJaccard = 0.02)),
 
     // the n-gram family's stored path (mirrors dd_minhash_stored): shingle
@@ -674,13 +688,14 @@ object SparkEntry {
         .orderBy(col("n").desc, col("kind")).limit(20)
     }))
 
-  // dd_minhash_stored / dd_ngram_stored are the same computations over a
-  // materialized signature/shingle table — each shares its lazy twin's
-  // oracle verbatim (appended at the end)
+  // dd_{minhash,simhash,ngram}_stored are the same computations over a
+  // materialized signature/fingerprint/shingle table — each shares its
+  // lazy twin's oracle verbatim (appended at the end)
   def oracleSql: Map[String, String] = {
     val base = baseOracleSql
     base + ("dd_minhash_stored" -> base("dd_minhash_pairs")) +
-      ("dd_ngram_stored" -> base("dd_ngram_jaccard"))
+      ("dd_ngram_stored" -> base("dd_ngram_jaccard")) +
+      ("dd_simhash_stored" -> base("dd_simhash_pairs"))
   }
 
   private def baseOracleSql: Map[String, String] = OracleAnn.entries ++ Map(
