@@ -651,6 +651,10 @@ object SparkEntry {
     "ta_quality_score" -> ((s, d) => TrainingOps.qualityScore(t(s, d, "documents"))),
     "ta_lang_id" -> ((s, d) => TrainingOps.langId(t(s, d, "documents"))),
     "ta_fingerprints" -> ((s, d) => TrainingOps.fingerprints(s, t(s, d, "documents"))),
+    // Gopher-style intra-doc repetition filter (Rae et al. 2021 §A1.1)
+    "ta_repetition" -> ((s, d) => TrainingOps.repetitionStats(s, t(s, d, "documents"))),
+    // train/eval n-gram contamination check (eval = doc_id % 20 == 0 slice)
+    "ta_contamination" -> ((s, d) => TrainingOps.contaminationCheck(s, t(s, d, "documents"))),
 
     // ------------------------- curation funnel (extract → filter → dedup)
     // all stage counts in ONE conditional-aggregation scan of the extraction
@@ -664,6 +668,18 @@ object SparkEntry {
       val spans = s.range(0L, 300L)
         .map(i => Extractor.extractDoc(SpanGen.genDoc(SpanGen.docId(i)))).toDF()
       graft.job.CurationJob.funnelCounts(graft.job.CurationJob.docText(spans))
+    }),
+
+    // PII scrub over the reassembled extraction text (emails + phone
+    // numbers masked; the corpus genuinely contains both as inline entity
+    // text — spec §3 keeps entity text inside the surviving text spans).
+    // Oracle replays the same string_agg reassembly + RE2-portable regexes.
+    "ex_pii_scrub" -> ((s, _) => {
+      extractSpansStore(s)
+      import s.implicits._
+      val spans = s.range(0L, 300L)
+        .map(i => Extractor.extractDoc(SpanGen.genDoc(SpanGen.docId(i)))).toDF()
+      TrainingOps.piiScrub(graft.job.CurationJob.docText(spans))
     }),
 
     // ------------------------------------- extraction pipeline (north rule)
@@ -1289,6 +1305,68 @@ object SparkEntry {
       """SELECT doc_id, CAST(len(regexp_extract_all(text,'\S+')) AS BIGINT) AS ws_tokens,
         | CAST(len(regexp_extract_all(text,'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // repetition replay: word lists via the same tokenization, 2-/3-grams by
+    // list slicing; every ratio is integers-over-integer (floor half-up 4dp
+    // both sides), and the flag compares the QUANTIZED ratio so both engines
+    // sit on the same side of the 0.20 boundary
+    "ta_repetition" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents),
+        |u AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM w),
+        |bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g FROM u WHERE i <= len(ws) - 1),
+        |tg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM u WHERE i <= len(ws) - 2),
+        |bgc AS (SELECT doc_id, max(c) AS top, sum(c) AS n
+        |  FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1),
+        |tgc AS (SELECT doc_id, count(*) AS n, count(DISTINCT g) AS nd FROM tg GROUP BY 1),
+        |base AS (SELECT doc_id, len(ws) AS n, len(list_distinct(ws)) AS nd FROM w)
+        |SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_words,
+        | floor(CASE WHEN b.n > 0 THEN CAST(b.n - b.nd AS DOUBLE) / b.n ELSE 0 END
+        |   * 10000 + 0.5) / 10000 AS dup_word_ratio,
+        | floor(CASE WHEN coalesce(bgc.n, 0) > 0 THEN CAST(bgc.top AS DOUBLE) / bgc.n ELSE 0 END
+        |   * 10000 + 0.5) / 10000 AS top_bigram_ratio,
+        | floor(CASE WHEN coalesce(tgc.n, 0) > 0 THEN CAST(tgc.n - tgc.nd AS DOUBLE) / tgc.n ELSE 0 END
+        |   * 10000 + 0.5) / 10000 AS dup_trigram_ratio,
+        | floor(CASE WHEN coalesce(bgc.n, 0) > 0 THEN CAST(bgc.top AS DOUBLE) / bgc.n ELSE 0 END
+        |   * 10000 + 0.5) / 10000 >= CAST(0.2 AS DOUBLE) AS flagged
+        |FROM base b LEFT JOIN bgc ON b.doc_id = bgc.doc_id
+        |  LEFT JOIN tgc ON b.doc_id = tgc.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
+    // contamination replay: the gram set per doc (DISTINCT ≡ the engine's
+    // Set-valued shingles, incl. the <n-word whole-text fallback), train
+    // side reduced to DISTINCT grams before the join (fan-out 1 per gram)
+    "ta_contamination" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS g
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i
+        |        FROM w WHERE len(ws) >= 8)
+        |  UNION
+        |  SELECT doc_id, array_to_string(ws, ' ') AS g FROM w WHERE len(ws) < 8),
+        |ev AS (SELECT * FROM grams WHERE doc_id % 20 = 0),
+        |tr AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 <> 0)
+        |SELECT ev.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        | CAST(coalesce(sum(CASE WHEN tr.g IS NULL THEN 0 ELSE 1 END), 0) AS BIGINT) AS n_overlap,
+        | floor(CAST(coalesce(sum(CASE WHEN tr.g IS NULL THEN 0 ELSE 1 END), 0) AS DOUBLE)
+        |   / count(*) * 10000 + 0.5) / 10000 AS overlap_ratio,
+        | coalesce(sum(CASE WHEN tr.g IS NULL THEN 0 ELSE 1 END), 0) > 0 AS contaminated
+        |FROM ev LEFT JOIN tr ON ev.g = tr.g
+        |GROUP BY ev.doc_id ORDER BY ev.doc_id""".stripMargin,
+    // PII scrub replay over the reassembled text spans (same string_agg
+    // shape as cu_curation_funnel); DuckDB regexp_replace needs the 'g'
+    // flag to match Spark's replace-all default
+    "ex_pii_scrub" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    coalesce(string_agg(CASE WHEN kind = 'text' THEN text END, ' ' ORDER BY seq), '')
+        |      AS text
+        |  FROM read_parquet('__WAREHOUSE__/graft_extract_spans/*.parquet')
+        |  GROUP BY doc_id)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(text, '\(\d{3}\) \d{3}-\d{4}')) AS BIGINT) AS n_phones,
+        | md5(regexp_replace(regexp_replace(text,
+        |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |   '\(\d{3}\) \d{3}-\d{4}', '[PHONE]', 'g')) AS scrub_hash
+        |FROM t ORDER BY doc_id""".stripMargin,
     "ta_quality_score" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
         | CAST(len(regexp_extract_all(text,'\S+')) AS BIGINT) AS n_words,

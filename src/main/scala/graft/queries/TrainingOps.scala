@@ -846,4 +846,96 @@ object TrainingOps {
       }.toDF("doc_id", "idx", "fp")
       .orderBy(col("doc_id"), col("idx"))
   }
+
+  /** Intra-document repetition metrics — the Gopher-style repetition
+    * filters (Rae et al. 2021 §A1.1): fraction of repeated word
+    * occurrences, fraction of the document's 2-grams taken by its single
+    * most frequent 2-gram, and fraction of duplicate 3-gram occurrences.
+    * `flagged` applies the classic top-2-gram threshold (≥ 0.20, evaluated
+    * on the QUANTIZED ratio so both engines sit on the same side of the
+    * boundary). Narrow typed map, O(doc) memory, zero shuffle — the same
+    * shape as [[fingerprints]]; ratios quantized floor-half-up 4dp (see
+    * [[ngramJaccardPairs]] for the cross-engine rationale). */
+  def repetitionStats(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val ws = tokens(text)
+        val n = ws.length
+        def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+        val dupWord = if (n > 0) (n - ws.distinct.length).toDouble / n else 0.0
+        val nBg = math.max(n - 1, 0)
+        val topBg = if (nBg > 0) {
+          val counts = scala.collection.mutable.HashMap.empty[String, Int]
+          var i = 0
+          while (i < nBg) {
+            val g = ws(i) + " " + ws(i + 1)
+            counts.update(g, counts.getOrElse(g, 0) + 1)
+            i += 1
+          }
+          counts.valuesIterator.max.toDouble / nBg
+        } else 0.0
+        val nTg = math.max(n - 2, 0)
+        val dupTg = if (nTg > 0) {
+          val seen = scala.collection.mutable.HashSet.empty[String]
+          var i = 0
+          while (i < nTg) { seen += (ws(i) + " " + ws(i + 1) + " " + ws(i + 2)); i += 1 }
+          (nTg - seen.size).toDouble / nTg
+        } else 0.0
+        (id, n.toLong, r4(dupWord), r4(topBg), r4(dupTg), r4(topBg) >= 0.2)
+      }.toDF("doc_id", "n_words", "dup_word_ratio", "top_bigram_ratio",
+        "dup_trigram_ratio", "flagged")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Train/eval contamination check — per eval document, how many of its
+    * word `n`-grams also occur anywhere in the train split. The eval set is
+    * `doc_id % evalMod == 0` (a deterministic held-out slice; a real
+    * deployment passes its benchmark table as the eval side). Scale shape:
+    * the train side is reduced to DISTINCT grams BEFORE the join, so every
+    * eval gram matches at most one row — fan-out 1 regardless of how many
+    * train documents share a boilerplate gram (the hot-key failure the
+    * dedup caps guard against cannot arise); one shuffle per side on the
+    * gram key. At production scale, materialize the distinct train-gram
+    * table once and reuse it across eval sets. Uses the same word
+    * tokenization + <n-word whole-text fallback as [[shingles]]. */
+  def contaminationCheck(spark: SparkSession, docs: DataFrame,
+      n: Int = 8, evalMod: Int = 20): DataFrame = {
+    import spark.implicits._
+    val grams = docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) => shingles(text, n).iterator.map(g => (id, g)) }
+      .toDF("doc_id", "g")
+    val evalGrams = grams.where(pmod(col("doc_id"), lit(evalMod)) === 0)
+    val trainGrams = grams.where(pmod(col("doc_id"), lit(evalMod)) =!= 0)
+      .select(col("g")).distinct()
+    evalGrams.join(trainGrams.withColumn("hit", lit(1L)), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), coalesce(sum(col("hit")), lit(0L)).as("n_overlap"))
+      .select(col("doc_id"), col("n_grams"), col("n_overlap"),
+        (floor(col("n_overlap").cast("double") / col("n_grams") * 1e4 + 0.5) / 1e4)
+          .as("overlap_ratio"),
+        (col("n_overlap") > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PII scrubbing — mask email addresses and US-style phone numbers,
+    * report per-doc counts plus the md5 of the scrubbed text (the
+    * hash-comparable face; a production pipeline keeps the scrubbed column
+    * itself). Patterns are deliberately portable regex (no backreferences,
+    * no lookaround) so the identical source runs on Java regex and RE2.
+    * Pure column ops — codegen'd, zero shuffle. `doc_id` keeps its source
+    * type (long on the documents table, the kernel's string ids on the
+    * extraction store). */
+  def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+    val phone = """\(\d{3}\) \d{3}-\d{4}"""
+    val t = col(textCol)
+    docs.select(
+        col("doc_id"),
+        size(regexp_extract_all(t, lit(email), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(t, lit(phone), lit(0))).cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace(t, lit(email), lit("[EMAIL]")),
+          lit(phone), lit("[PHONE]"))).as("scrub_hash"))
+      .orderBy(col("doc_id"))
+  }
 }

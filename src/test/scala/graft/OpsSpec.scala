@@ -240,6 +240,60 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(big.getOrElse("val", 0L) + big.getOrElse("test", 0L) > 0)
   }
 
+  test("repetition stats: hand-computed ratios, Gopher flag on the quantized value") {
+    import spark.implicits._
+    val docs = docsDf.select(col("doc_id"), col("text"))
+      .union(Seq((10L, "spam spam spam spam")).toDF("doc_id", "text"))
+    val r = TrainingOps.repetitionStats(spark, docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    // doc 0: 9 words ("the" twice) -> dup_word 1/9; 8 distinct bigrams ->
+    // top 1/8; 7 distinct trigrams -> dup 0
+    assert(r(0L).getLong(1) == 9L)
+    assert(r(0L).getDouble(2) == 0.1111)
+    assert(r(0L).getDouble(3) == 0.125)
+    assert(r(0L).getDouble(4) == 0.0)
+    assert(!r(0L).getBoolean(5))
+    // doc 10: pathological repetition -> dup_word 3/4, every bigram is
+    // "spam spam" (top 3/3 = 1.0, flagged), trigram dup (2-1)/2
+    assert(r(10L).getLong(1) == 4L)
+    assert(r(10L).getDouble(2) == 0.75)
+    assert(r(10L).getDouble(3) == 1.0)
+    assert(r(10L).getDouble(4) == 0.5)
+    assert(r(10L).getBoolean(5))
+  }
+
+  test("contamination check: eval grams matched against the distinct train-gram set") {
+    // evalMod=2 -> eval {0,2,4}, train {1,3}; 3-gram shingles: doc 0 shares
+    // 6 of its 7 grams with doc 1 ("the lazy dog" vs "...cat" differs),
+    // doc 2 (Spanish) shares none, doc 4 duplicates doc 0
+    val r = TrainingOps.contaminationCheck(spark, docsDf, n = 3, evalMod = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getBoolean(4))).toList
+    assert(r == List((0L, 7L, 6L, true), (2L, 8L, 0L, false), (4L, 7L, 6L, true)))
+  }
+
+  test("pii scrub: emails and phones masked, counts and scrubbed hash exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "reach records.desk@epa.gov or (202) 555-0147 now"),
+      (1L, "no pii here")).toDF("doc_id", "text")
+    val r = TrainingOps.piiScrub(docs).collect()
+    assert(r(0).getLong(1) == 1L && r(0).getLong(2) == 1L)
+    assert(r(1).getLong(1) == 0L && r(1).getLong(2) == 0L)
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("reach [EMAIL] or [PHONE] now".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(r(0).getString(3) == expected)
+    // non-vacuous over the real corpus: the generated docs carry inline
+    // emails/phones in their surviving text spans (spec §3)
+    import graft.gen.SpanGen
+    import graft.kernel.Extractor
+    val spans = spark.range(0L, 50L)
+      .map(i => Extractor.extractDoc(SpanGen.genDoc(SpanGen.docId(i)))).toDF()
+    val agg = TrainingOps.piiScrub(graft.job.CurationJob.docText(spans))
+      .agg(sum(col("n_emails")), sum(col("n_phones"))).collect()(0)
+    assert(agg.getLong(0) + agg.getLong(1) > 0L)
+  }
+
   // ------------------------------------------------------------ embeddings
   private def embDf = {
     import spark.implicits._
