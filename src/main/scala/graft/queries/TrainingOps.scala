@@ -902,11 +902,16 @@ object TrainingOps {
   def contaminationCheck(spark: SparkSession, docs: DataFrame,
       n: Int = 8, evalMod: Int = 20): DataFrame = {
     import spark.implicits._
-    val grams = docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
-      .flatMap { case (id, text) => shingles(text, n).iterator.map(g => (id, g)) }
-      .toDF("doc_id", "g")
-    val evalGrams = grams.where(pmod(col("doc_id"), lit(evalMod)) === 0)
-    val trainGrams = grams.where(pmod(col("doc_id"), lit(evalMod)) =!= 0)
+    // split BEFORE gram generation: a filter after the typed flatMap cannot
+    // be pushed through it by Catalyst, so each branch would shingle the
+    // whole corpus; filtering docs first reaches the parquet scan and makes
+    // the eval branch proportional to the eval slice, not the corpus
+    def gramsOf(d: DataFrame): DataFrame =
+      d.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) => shingles(text, n).iterator.map(g => (id, g)) }
+        .toDF("doc_id", "g")
+    val evalGrams = gramsOf(docs.where(pmod(col("doc_id").cast("long"), lit(evalMod)) === 0))
+    val trainGrams = gramsOf(docs.where(pmod(col("doc_id").cast("long"), lit(evalMod)) =!= 0))
       .select(col("g")).distinct()
     evalGrams.join(trainGrams.withColumn("hit", lit(1L)), Seq("g"), "left")
       .groupBy(col("doc_id"))
