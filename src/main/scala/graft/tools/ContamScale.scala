@@ -1,0 +1,81 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.queries.TrainingOps
+
+/** Contamination-check + repetition-filter volume probe, the T23/T24
+  * counterpart of [[DedupScale]]: wall time and output volume for
+  * `contaminationCheck` and `repetitionStats` over the same adversarial
+  * duplicate-heavy corpus at increasing sizes.
+  *
+  * What the corpus stresses (see [[DedupScale.corpus]]): every 20th doc is
+  * IDENTICAL mirror boilerplate, so each of its word-8-grams occurs in
+  * n/20 train documents — the hot-gram case where a naive eval×train gram
+  * join fans out n/20 rows per eval gram. `contaminationCheck` reduces the
+  * train side to DISTINCT grams before the join (fan-out exactly 1), so
+  * output rows stay = eval docs and wall time grows ~linearly; a quadratic
+  * bend here would falsify the fan-out claim. Eval docs (doc_id % 20 == 0)
+  * are near-dup cluster members whose siblings sit in train — genuine
+  * contamination the check must KEEP reporting while the boilerplate mass
+  * is collapsed.
+  *
+  * Env: CONTAMSCALE_SIZES (csv, default "5000,20000,50000"),
+  * CONTAMSCALE_CPUS (default 32).
+  */
+object ContamScale {
+
+  private def time[T](body: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sizes = sys.env.getOrElse("CONTAMSCALE_SIZES", "5000,20000,50000")
+      .split(",").map(_.trim.toLong).toSeq
+    val cpus = sys.env.getOrElse("CONTAMSCALE_CPUS", "32").toInt
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // warm codepaths so the smallest size isn't charged JVM/codegen startup
+    TrainingOps.contaminationCheck(spark, DedupScale.corpus(spark, 2000)).count()
+    TrainingOps.repetitionStats(spark, DedupScale.corpus(spark, 2000)).count()
+
+    val rows = sizes.map { n =>
+      val docs = DedupScale.corpus(spark, n).cache()
+      docs.count()
+      val (contam, cSec) = time {
+        val r = TrainingOps.contaminationCheck(spark, docs)
+          .agg(count(lit(1)).as("eval_docs"),
+            sum(col("n_overlap")).as("overlap_sum"),
+            sum(when(col("contaminated"), 1L).otherwise(0L)).as("contaminated_docs"))
+          .collect()(0)
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      val (flagged, rSec) = time(
+        TrainingOps.repetitionStats(spark, docs).where(col("flagged")).count())
+      docs.unpersist()
+      println(f"CONTAMSCALE n=$n%d eval_docs=${contam._1}%d " +
+        f"overlap_sum=${contam._2}%d contaminated=${contam._3}%d contam_sec=$cSec%.1f " +
+        f"repetition_flagged=$flagged%d repetition_sec=$rSec%.1f")
+      (n, contam._1, cSec, rSec)
+    }
+
+    if (rows.size >= 2) {
+      val (n0, e0, cs0, rs0) = rows.head
+      val (n1, e1, cs1, rs1) = rows.last
+      val r = math.log(n1.toDouble / n0)
+      def alpha(a: Double, b: Double): String =
+        if (a <= 0 || b <= 0 || r == 0) "n/a" else f"${math.log(b / a) / r}%.2f"
+      println(s"CONTAMSCALE growth n=$n0->$n1: " +
+        s"eval_docs_alpha=${alpha(e0.toDouble, e1.toDouble)} " +
+        s"contam_sec_alpha=${alpha(cs0, cs1)} " +
+        s"repetition_sec_alpha=${alpha(rs0, rs1)} (1.0 = linear, 2.0 = quadratic)")
+    }
+    spark.stop()
+  }
+}
