@@ -551,6 +551,13 @@ object SparkEntry {
       TrainingOps.ngramJaccardFromShingles(
         s, graft.core.TableIO.read(s, loc.toString), minJaccard = 0.02)
     }),
+    // pairs → DECISIONS: connected components over the n-gram-Jaccard pair
+    // graph (hooked min-label + pointer jump, fixpoint-checked) — the
+    // cluster-membership table a dedup pipeline drops against (component =
+    // min doc id = the survivor). Oracled via a recursive-CTE label closure
+    // over the same pair SQL.
+    "dd_neardup_clusters" -> ((s, d) =>
+      TrainingOps.nearDupComponents(s, t(s, d, "documents"), minJaccard = 0.5)),
     "dd_embed_cosine" -> ((s, d) => TrainingOps.embedCosinePairs(s, t(s, d, "embeddings"), minSim = 0.4)),
     "dd_embed_lsh" -> ((s, d) => TrainingOps.embedCosinePairsLsh(s, t(s, d, "embeddings"), minSim = 0.4)),
 
@@ -655,6 +662,11 @@ object SparkEntry {
     "ta_repetition" -> ((s, d) => TrainingOps.repetitionStats(s, t(s, d, "documents"))),
     // train/eval n-gram contamination check (eval = doc_id % 20 == 0 slice)
     "ta_contamination" -> ((s, d) => TrainingOps.contaminationCheck(s, t(s, d, "documents"))),
+    // exact top-k token frequencies (TakeOrderedAndProject — k rows ever
+    // collected; tie-break token ASC for engine-deterministic boundaries)
+    // k=20 < the corpus vocabulary, so the limit genuinely truncates and
+    // the rank-k boundary (count ties broken token-asc) is exercised
+    "ta_vocab_topk" -> ((s, d) => TrainingOps.vocabTopK(t(s, d, "documents"), k = 20)),
 
     // ------------------------- curation funnel (extract → filter → dedup)
     // all stage counts in ONE conditional-aggregation scan of the extraction
@@ -1077,6 +1089,38 @@ object SparkEntry {
         |  floor(CAST(i AS DOUBLE) / (za.sz + zb.sz - i) * 10000 + 0.5) / 10000 AS jaccard
         | FROM inter JOIN sizes za ON doc_a = za.doc_id JOIN sizes zb ON doc_b = zb.doc_id)
         |WHERE jaccard >= 0.02 ORDER BY doc_a, doc_b""".stripMargin,
+    // same shingle/pair pipeline as dd_ngram_jaccard (rounded-then-filtered
+    // at 0.5, matching the engine), then transitive closure by recursive
+    // label propagation: seed every node with its own id, propagate labels
+    // across undirected edges to a fixpoint (UNION dedups), component =
+    // min reachable label — exactly the engine's hooked-min fixpoint
+    "dd_neardup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |  ELSE list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                      for i in generate_series(1, len(t)-2)]) END) AS s
+        | FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        | FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (
+        | SELECT doc_a, doc_b FROM (
+        |  SELECT doc_a, doc_b,
+        |   floor(CAST(i AS DOUBLE) / (za.sz + zb.sz - i) * 10000 + 0.5) / 10000 AS jaccard
+        |  FROM inter JOIN sizes za ON doc_a = za.doc_id JOIN sizes zb ON doc_b = zb.doc_id)
+        | WHERE jaccard >= 0.5),
+        |und AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        |        UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(node, lab) AS (
+        | SELECT u, u FROM und
+        | UNION
+        | SELECT e.v, r.lab FROM reach r JOIN und e ON e.u = r.node)
+        |SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(lab) AS BIGINT) AS component
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     "mm_meta_summary" ->
       """WITH m AS (
         | SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
@@ -1301,6 +1345,11 @@ object SparkEntry {
         |  count(DISTINCT canonical) AS n_clusters,
         |  CAST(sum(occurrences) AS BIGINT) AS n_mentions
         |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ta_vocab_topk" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+        | SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token
+        | FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
     "ta_token_counts" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(text,'\S+')) AS BIGINT) AS ws_tokens,
         | CAST(len(regexp_extract_all(text,'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens

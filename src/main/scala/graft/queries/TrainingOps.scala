@@ -399,6 +399,113 @@ object TrainingOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // --------------------------------------------------- cluster resolution
+
+  /** Connected components over an undirected pair graph — the step that
+    * turns near-dup PAIRS into dedup DECISIONS: `minhashPairs` /
+    * `simhashPairs` / `ngramJaccardPairs` emit edges, but a pipeline keeps
+    * ONE survivor per transitively-connected cluster (a≈b, b≈c ⇒ drop two
+    * of {a,b,c} even when a,c were never compared). Labels every node with
+    * the minimum doc id in its component.
+    *
+    * Algorithm: iterated min-label propagation with path compression —
+    * each round HOOKS every node to the minimum label in its closed
+    * neighborhood (a groupBy-min over the edge-expanded label table), then
+    * JUMPS each label to its label's label (one self-join), the
+    * Shiloach–Vishkin-style accelerator that makes label trees collapse
+    * geometrically instead of one hop per round (the same two-step round
+    * structure as the MapReduce CC literature — Rastogi et al. 2012
+    * "hash-to-min", Kiveris et al. 2014 large-star/small-star). Rounds are
+    * O(log n) on any graph and 1–2 in practice for near-dup clusters
+    * (LSH components are band-cliques, diameter ≈ 1–2).
+    *
+    * Correctness does NOT depend on the round count: the loop runs to an
+    * observed fixpoint (zero labels changed — an exact count action per
+    * round), and a stable fixpoint of neighborhood-min IS the component
+    * minimum (every node's label ≤ its neighbors' ⇒ labels are constant
+    * along any path ⇒ equal to the component min, which labels itself).
+    * Min-of-longs is associative/commutative — deterministic at any
+    * parallelism. Non-convergence inside `maxIter` throws rather than
+    * returning partial labels (cannot happen below 2^maxIter nodes).
+    *
+    * Scale: per round, one shuffle for the groupBy-min (map-side partial
+    * agg — state per node, never per edge) and one equi-join shuffle for
+    * the jump; the edge table is persisted once and reused every round.
+    * Each round's label table goes through an EAGER `localCheckpoint`, the
+    * iterative-algorithm requirement: persist alone caches row data but
+    * leaves the logical plan growing geometrically (each round embeds the
+    * previous round's plan ~4×; by round ~7 even rendering the plan string
+    * OOMs the driver), while the checkpoint truncates both the plan and
+    * the RDD lineage to a scan of the materialized blocks. On a cluster
+    * where executor loss must not kill the job, swap for reliable
+    * `checkpoint()` to HDFS — block loss under localCheckpoint fails the
+    * job (never silently corrupts: inputs are deterministic, there is no
+    * partial recompute). The RESULT stays materialized (the iterative norm)
+    * — production callers write it to a table when done.
+    *
+    * `pairs`: first two columns are the edge endpoints (any castable-to-
+    * long type); extra columns (similarity scores) are ignored. Nodes with
+    * no edges never appear in `pairs` and so are absent from the output —
+    * singletons are their own survivor by definition. */
+  def connectedComponents(spark: SparkSession, pairs: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val Array(ca, cb) = pairs.columns.take(2)
+    val e = pairs.select(col(ca).cast("long").as("u"), col(cb).cast("long").as("v"))
+    // both directions plus a self-loop per node: the hook join over this
+    // table sees the CLOSED neighborhood, so the loop body is one join +
+    // one agg — no per-round union (unioning a checkpointed table with its
+    // own derivative also trips Catalyst's union constraint rewriting)
+    val und = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val undLoop = und.union(
+        und.select(col("u")).distinct().select(col("u"), col("u").as("v")))
+      .persist()
+
+    var labels = undLoop.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("comp")).localCheckpoint(true)
+    var it = 0
+    var changed = Long.MaxValue
+    while (changed > 0) {
+      if (it >= maxIter)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds — " +
+            "pointer-jumped min-propagation needs O(log n) rounds, so this " +
+            "graph is larger than 2^maxIter nodes or the input is unstable")
+      // hook: min label over the closed neighborhood (self-loop ⇒ own label)
+      val hooked = undLoop.as("e").join(labels.as("l"), col("e.v") === col("l.node"))
+        .groupBy(col("e.u")).agg(min(col("l.comp")).as("comp"))
+        .select(col("u").as("node"), col("comp"))
+      // jump: comp := comp's comp (labels are node ids, so every comp
+      // resolves; left join guards the root, whose comp is itself)
+      val jumped = hooked.as("x")
+        .join(hooked.select(col("node").as("rn"), col("comp").as("rc")).as("r"),
+          col("x.comp") === col("rn"), "left")
+        .select(col("x.node").as("node"),
+          coalesce(col("rc"), col("x.comp")).as("comp"))
+        .localCheckpoint(true)
+      changed = jumped.as("n")
+        .join(labels.select(col("node"), col("comp").as("oldc")).as("o"), Seq("node"))
+        .where(col("comp") =!= col("oldc")).count()
+      labels.unpersist()
+      labels = jumped
+      it += 1
+    }
+    undLoop.unpersist()
+    labels
+  }
+
+  /** Near-dup cluster membership: connected components over the exact
+    * n-gram-Jaccard pair graph at `minJaccard` — (doc_id, component) for
+    * every document in a cluster of ≥ 2, component = min doc id (the
+    * dedup survivor; every other member is a drop). Composes
+    * [[ngramJaccardPairs]] (df-capped inverted index — see its scale
+    * contract) with [[connectedComponents]]. */
+  def nearDupComponents(spark: SparkSession, docs: DataFrame,
+      n: Int = 3, minJaccard: Double = 0.5, maxDf: Int = 10000): DataFrame =
+    connectedComponents(spark,
+      ngramJaccardPairs(spark, docs, n, minJaccard, maxDf).select(col("doc_a"), col("doc_b")))
+      .select(col("node").as("doc_id"), col("comp").as("component"))
+      .orderBy(col("doc_id"))
+
   // --------------------------------------------------- similarity search
 
   /** Higher-order-function formulation, kept for equivalence testing
@@ -922,6 +1029,22 @@ object TrainingOps {
         (col("n_overlap") > 0).as("contaminated"))
       .orderBy(col("doc_id"))
   }
+
+  /** Corpus vocabulary heavy hitters — top-k tokens by exact frequency,
+    * the tokenizer-vocab / stopword-discovery staple. Tokenization matches
+    * [[tokens]] (lowercase, whitespace split). One shuffle: groupBy-count
+    * with map-side partial aggregation, so reducer state is
+    * vocabulary-sized (Zipf-bounded), never corpus-sized; the top-k is
+    * orderBy+limit, which Spark plans as TakeOrderedAndProject — a
+    * per-partition bounded heap merged on the driver, k rows ever
+    * collected. Ties broken by token ASC so rank-k boundaries are
+    * engine-deterministic. */
+  def vocabTopK(docs: DataFrame, k: Int = 50): DataFrame =
+    docs.select(explode(split(lower(col("text")), "\\s+")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
 
   /** PII scrubbing — mask email addresses and US-style phone numbers,
     * report per-doc counts plus the md5 of the scrubbed text (the

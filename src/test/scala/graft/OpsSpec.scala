@@ -220,6 +220,58 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cold.count() == 0, "df-capped index drops the hot shingle before the self-join")
   }
 
+  test("connected components: chain, triangle, disjoint pair, reversed edge — min labels exact") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (diameter 4 — exercises multi-round convergence),
+    // triangle {10,11,12}, pair {20,21}, and a reversed edge 31→30 (the
+    // undirected expansion must label 31 with 30, not itself)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L), (31L, 30L))
+      .toDF("doc_a", "doc_b")
+    val got = TrainingOps.connectedComponents(spark, edges)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L,
+      30L -> 30L, 31L -> 30L))
+  }
+
+  test("connected components match driver-side union-find on pseudo-random graphs") {
+    import spark.implicits._
+    // deterministic generator (fixed seeds) — includes sparse (forest-like,
+    // long chains) and denser regimes
+    for ((seed, nNodes, nEdges) <- Seq((1, 60, 40), (2, 60, 90), (3, 200, 150))) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(nEdges)((rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find ground truth (path-halving + min-root)
+      val parent = Array.tabulate(nNodes)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+        r
+      }
+      for ((a, b) <- edges) {
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
+      }
+      val touched = edges.flatMap { case (a, b) => Seq(a.toInt, b.toInt) }.distinct
+      val expect = touched.map(n => n.toLong -> find(n).toLong).sortBy(_._1)
+      val got = TrainingOps.connectedComponents(spark, edges.toDF("doc_a", "doc_b"))
+        .orderBy("node").as[(Long, Long)].collect().toSeq
+      assert(got == expect, s"seed=$seed")
+    }
+  }
+
+  test("near-dup components: transitive cluster labeled by min doc id, singletons absent") {
+    import spark.implicits._
+    // docs 0/4 exact dups (jaccard 1.0), 1 near-dup of both (6/8 shingles
+    // shared = 0.75 ≥ 0.5) ⇒ one component {0,1,4} labeled 0; docs 2/3
+    // have no pair at 0.5 ⇒ absent (singletons are their own survivor)
+    val got = TrainingOps.nearDupComponents(spark, docsDf)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq(0L -> 0L, 1L -> 0L, 4L -> 0L))
+  }
+
   test("deterministic split: content-hashed, dup-leakage-safe, reproducible") {
     val a = TrainingOps.splitAssign(spark, docsDf).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -269,6 +321,18 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = TrainingOps.contaminationCheck(spark, docsDf, n = 3, evalMod = 2)
       .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getBoolean(4))).toList
     assert(r == List((0L, 7L, 6L, true), (2L, 8L, 0L, false), (4L, 7L, 6L, true)))
+  }
+
+  test("vocab top-k: exact counts, count-desc token-asc order, tie at the k boundary deterministic") {
+    import spark.implicits._
+    val docs = Seq((0L, "b b b a a c"), (1L, "A a d c")).toDF("doc_id", "text")
+    // counts: a=4, b=3, c=2, d=1 — at k=3 the c/d boundary picks c (higher n)
+    val got = TrainingOps.vocabTopK(docs, k = 3).as[(String, Long)].collect().toSeq
+    assert(got == Seq("a" -> 4L, "b" -> 3L, "c" -> 2L))
+    // tie ties broken by token asc: c and d both 1 → c first
+    val tied = Seq((0L, "x x d c")).toDF("doc_id", "text")
+    assert(TrainingOps.vocabTopK(tied, k = 2).as[(String, Long)].collect().toSeq ==
+      Seq("x" -> 2L, "c" -> 1L))
   }
 
   test("pii scrub: emails and phones masked, counts and scrubbed hash exact") {
