@@ -448,7 +448,13 @@ object TrainingOps {
     * no edges never appear in `pairs` and so are absent from the output —
     * singletons are their own survivor by definition. */
   def connectedComponents(spark: SparkSession, pairs: DataFrame,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25): DataFrame =
+    connectedComponentsIter(spark, pairs, maxIter)._1
+
+  /** [[connectedComponents]] plus the observed round count (the scale
+    * probes report rounds-vs-n to back the O(log n) claim). */
+  private[graft] def connectedComponentsIter(spark: SparkSession,
+      pairs: DataFrame, maxIter: Int = 25): (DataFrame, Int) = {
     val Array(ca, cb) = pairs.columns.take(2)
     val e = pairs.select(col(ca).cast("long").as("u"), col(cb).cast("long").as("v"))
     // both directions plus a self-loop per node: the hook join over this
@@ -490,7 +496,7 @@ object TrainingOps {
       it += 1
     }
     undLoop.unpersist()
-    labels
+    (labels, it)
   }
 
   /** Near-dup cluster membership: connected components over the exact
