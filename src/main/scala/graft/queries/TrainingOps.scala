@@ -456,7 +456,13 @@ object TrainingOps {
   private[graft] def connectedComponentsIter(spark: SparkSession,
       pairs: DataFrame, maxIter: Int = 25): (DataFrame, Int) = {
     val Array(ca, cb) = pairs.columns.take(2)
+    // checkpoint the edge list FIRST: `pairs` is typically the output of a
+    // whole candidate-generation pipeline (shingle → index → join), and it
+    // appears in four union branches of the expanded edge table below — a
+    // lazy reference would recompute that pipeline once per branch (4× the
+    // pair cost, measured on the n-gram path before this landed)
     val e = pairs.select(col(ca).cast("long").as("u"), col(cb).cast("long").as("v"))
+      .localCheckpoint(true)
     // both directions plus a self-loop per node: the hook join over this
     // table sees the CLOSED neighborhood, so the loop body is one join +
     // one agg — no per-round union (unioning a checkpointed table with its
