@@ -554,10 +554,24 @@ object SparkEntry {
     // pairs → DECISIONS: connected components over the n-gram-Jaccard pair
     // graph (hooked min-label + pointer jump, fixpoint-checked) — the
     // cluster-membership table a dedup pipeline drops against (component =
-    // min doc id = the survivor). Oracled via a recursive-CTE label closure
-    // over the same pair SQL.
-    "dd_neardup_clusters" -> ((s, d) =>
-      TrainingOps.nearDupComponents(s, t(s, d, "documents"), minJaccard = 0.5)),
+    // min doc id = the survivor). Production shape: pair generation reads
+    // the SAME marker-gated shingle store dd_ngram_stored materializes
+    // (shingle once, serve pairs AND clusters); `nearDupComponents` is the
+    // one-call lazy composition of the identical semantics (OpsSpec pins
+    // it). Oracled via a recursive-CTE label closure over the same pair SQL.
+    "dd_neardup_clusters" -> ((s, d) => {
+      val loc = graft.core.Materialize.warehousePath(s, "graft_ngram_shingles")
+      graft.core.Materialize.onceAt(s, loc, s"ngram_shingles:n3:$d") {
+        graft.core.TableIO.write(
+          TrainingOps.ngramShingles(s, t(s, d, "documents")), loc.toString)
+      }
+      TrainingOps.connectedComponents(s,
+          TrainingOps.ngramJaccardFromShingles(
+            s, graft.core.TableIO.read(s, loc.toString), minJaccard = 0.5)
+            .select(col("doc_a"), col("doc_b")))
+        .select(col("node").as("doc_id"), col("comp").as("component"))
+        .orderBy(col("doc_id"))
+    }),
     "dd_embed_cosine" -> ((s, d) => TrainingOps.embedCosinePairs(s, t(s, d, "embeddings"), minSim = 0.4)),
     "dd_embed_lsh" -> ((s, d) => TrainingOps.embedCosinePairsLsh(s, t(s, d, "embeddings"), minSim = 0.4)),
 
