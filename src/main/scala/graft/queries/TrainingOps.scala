@@ -455,6 +455,8 @@ object TrainingOps {
     * probes report rounds-vs-n to back the O(log n) claim). */
   private[graft] def connectedComponentsIter(spark: SparkSession,
       pairs: DataFrame, maxIter: Int = 25): (DataFrame, Int) = {
+    require(pairs.columns.length >= 2,
+      s"pairs needs >= 2 columns (edge endpoints); got ${pairs.columns.mkString(", ")}")
     val Array(ca, cb) = pairs.columns.take(2)
     // checkpoint the edge list FIRST: `pairs` is typically the output of a
     // whole candidate-generation pipeline (shingle → index → join), and it
@@ -502,6 +504,7 @@ object TrainingOps {
       it += 1
     }
     undLoop.unpersist()
+    e.unpersist() // the returned labels live on their own checkpoint
     (labels, it)
   }
 

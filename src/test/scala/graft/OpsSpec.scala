@@ -233,6 +233,9 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L,
       30L -> 30L, 31L -> 30L))
+    // empty graph: converges immediately to empty labels, no error
+    assert(TrainingOps.connectedComponents(spark,
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0)
   }
 
   test("connected components match driver-side union-find on pseudo-random graphs") {
