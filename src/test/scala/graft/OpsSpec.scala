@@ -338,6 +338,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("x" -> 2L, "c" -> 1L))
   }
 
+  test("approx aggregates: HLL count-distinct and approx percentile within tolerance of exact") {
+    import spark.implicits._
+    // the 100 TB forms of a11_distinct / exact percentiles: sketches are
+    // engine-specific (no cross-engine hash oracle possible), so pin them
+    // against the exact answers on a deterministic 100k-row, 7919-key table
+    val df = spark.range(0L, 100000L).select(pmod(col("id"), lit(7919L)).as("k"))
+    val exact = df.select(countDistinct(col("k"))).as[Long].head()
+    assert(exact == 7919L)
+    // rsd is a standard deviation, not a bound — assert at 3x the
+    // requested rsd (observed: rsd=0.05 sat at a 1.5-sigma 7.6% error)
+    val approx = df.select(approx_count_distinct(col("k"), 0.02)).as[Long].head()
+    assert(math.abs(approx - exact).toDouble / exact < 0.06,
+      s"HLL estimate $approx vs exact $exact exceeds 3x rsd")
+    val p50 = df.select(percentile_approx(col("k"), lit(0.5), lit(1000))).as[Long].head()
+    // occupancy is NOT uniform (100000 = 7919*12 + 4972: values below 4972
+    // appear 13x) — compare against the exact percentile, not a guess
+    val p50exact = df.select(expr("percentile(k, 0.5)")).as[Double].head()
+    assert(math.abs(p50 - p50exact) / p50exact < 0.01,
+      s"approx median $p50 vs exact $p50exact exceeds 1% relative error")
+  }
+
   test("pii scrub: emails and phones masked, counts and scrubbed hash exact") {
     import spark.implicits._
     val docs = Seq(
