@@ -559,6 +559,10 @@ object SparkEntry {
     // (shingle once, serve pairs AND clusters); `nearDupComponents` is the
     // one-call lazy composition of the identical semantics (OpsSpec pins
     // it). Oracled via a recursive-CTE label closure over the same pair SQL.
+    // NB construction RUNS the CC iteration (fixpoint needs actions — same
+    // contract as sim_ann_ivf's Lloyd step); the returned plan is a scan of
+    // the converged label checkpoint, so explain-only consumers pay the
+    // iteration, not a re-run per downstream action.
     "dd_neardup_clusters" -> ((s, d) => {
       val loc = graft.core.Materialize.warehousePath(s, "graft_ngram_shingles")
       graft.core.Materialize.onceAt(s, loc, s"ngram_shingles:n3:$d") {
