@@ -273,6 +273,13 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = TrainingOps.nearDupComponents(spark, docsDf)
       .as[(Long, Long)].collect().toSeq
     assert(got == Seq(0L -> 0L, 1L -> 0L, 4L -> 0L))
+    // CC is pair-family agnostic: the minhash pair graph resolves to the
+    // same cluster on this corpus (signature-estimated jaccard finds the
+    // same {0,1,4} neighborhood at its own threshold)
+    val viaMinhash = TrainingOps.connectedComponents(spark,
+        TrainingOps.minhashPairs(spark, docsDf, minSim = 0.5).select("doc_a", "doc_b"))
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(viaMinhash == Seq(0L -> 0L, 1L -> 0L, 4L -> 0L))
   }
 
   test("deterministic split: content-hashed, dup-leakage-safe, reproducible") {
