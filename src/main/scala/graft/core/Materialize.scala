@@ -46,6 +46,16 @@ object Materialize {
     * (tag = source identity + build parameters: any change rebuilds).
     * Returns true iff the build ran this call. */
   def onceAt(spark: SparkSession, loc: Path, srcTag: String)(build: => Unit): Boolean = {
+    // The marker lives INSIDE a path-addressed table directory; under a
+    // catalog format (GRAFT_TABLE_FORMAT=iceberg) `loc` would be passed to
+    // saveAsTable as an identifier and the _graft_src file would never be
+    // consulted — fail loudly instead of building a mis-addressed table.
+    // Catalog deployments get build-once semantics from the catalog itself
+    // (CREATE TABLE IF NOT EXISTS / snapshot metadata), not this seam.
+    require(TableIO.pathBased,
+      s"Materialize.onceAt is a path-layout seam (marker file inside the " +
+        s"table dir); GRAFT_TABLE_FORMAT=${TableIO.format} addresses tables " +
+        "by catalog identifier — gate the build on the catalog instead")
     val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
     val marker = new Path(loc, "_graft_src")
     if (readMarker(fs, marker).contains(srcTag)) false

@@ -20,7 +20,11 @@ object TableIO {
 
   val format: String = sys.env.getOrElse("GRAFT_TABLE_FORMAT", "parquet")
 
-  private def pathBased: Boolean = format == "parquet" || format == "orc"
+  /** True when `format` addresses tables by filesystem path (parquet/orc);
+    * false for catalog formats (iceberg), where identifiers are table
+    * names. Public because the marker-gated stores ([[Materialize]]) are a
+    * path-layout mechanism and must refuse catalog formats loudly. */
+  def pathBased: Boolean = format == "parquet" || format == "orc"
 
   def read(spark: SparkSession, table: String): DataFrame = {
     val r: DataFrameReader = spark.read.format(format)

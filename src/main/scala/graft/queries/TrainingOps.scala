@@ -122,7 +122,12 @@ object TrainingOps {
     require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0.0 && w <= 1.0),
       "weights must be in [0, 1]")
     graft.functions.Fnv1a64Expr.register(spark)
-    val bucket = pmod(expr(s"fnv1a64($contentCol)"), lit(10000))
+    // backtick-quote the identifier: a column name needing quoting (space,
+    // dot, hyphen) would otherwise mis-parse or resolve a nested field,
+    // defeating the parameterization (round-5 ADVICE); backticks inside
+    // the name follow SQL's doubling escape
+    val quoted = "`" + contentCol.replace("`", "``") + "`"
+    val bucket = pmod(expr(s"fnv1a64($quoted)"), lit(10000))
     val threshold = weights.foldLeft(lit(math.round(defaultWeight * 10000).toInt): Column) {
       case (acc, (stratum, w)) =>
         when(col(strataCol) === stratum, lit(math.round(w * 10000).toInt)).otherwise(acc)
@@ -437,10 +442,11 @@ object TrainingOps {
     * previous round's plan ~4×; by round ~7 even rendering the plan string
     * OOMs the driver), while the checkpoint truncates both the plan and
     * the RDD lineage to a scan of the materialized blocks. On a cluster
-    * where executor loss must not kill the job, swap for reliable
-    * `checkpoint()` to HDFS — block loss under localCheckpoint fails the
-    * job (never silently corrupts: inputs are deterministic, there is no
-    * partial recompute). The RESULT stays materialized (the iterative norm)
+    * where executor loss must not kill the job, pass
+    * `reliableCheckpoint = true` (with `setCheckpointDir` on distributed
+    * storage) — block loss under localCheckpoint fails the job (never
+    * silently corrupts: inputs are deterministic, there is no partial
+    * recompute). The RESULT stays materialized (the iterative norm)
     * — production callers write it to a table when done.
     *
     * `pairs`: first two columns are the edge endpoints (any castable-to-
@@ -448,23 +454,43 @@ object TrainingOps {
     * no edges never appear in `pairs` and so are absent from the output —
     * singletons are their own survivor by definition. */
   def connectedComponents(spark: SparkSession, pairs: DataFrame,
-      maxIter: Int = 25): DataFrame =
-    connectedComponentsIter(spark, pairs, maxIter)._1
+      maxIter: Int = 25, reliableCheckpoint: Boolean = false): DataFrame =
+    connectedComponentsIter(spark, pairs, maxIter, reliableCheckpoint)._1
 
   /** [[connectedComponents]] plus the observed round count (the scale
-    * probes report rounds-vs-n to back the O(log n) claim). */
+    * probes report rounds-vs-n to back the O(log n) claim).
+    *
+    * `reliableCheckpoint = true` swaps every per-round truncation from
+    * executor-local `localCheckpoint` to reliable `checkpoint()` against
+    * `spark.sparkContext.getCheckpointDir` (the caller must have called
+    * `setCheckpointDir` — distributed storage on a real cluster): under
+    * executor loss, local checkpoint blocks die with the executor and the
+    * job FAILS (never silently corrupts — inputs are deterministic, there
+    * is no partial recompute), while reliable checkpoints survive and the
+    * lost partitions re-read from storage. Both modes are row-identical
+    * (OpsSpec pins it); local is the single-box/bench default because it
+    * skips the write-to-storage round trip each round. */
   private[graft] def connectedComponentsIter(spark: SparkSession,
-      pairs: DataFrame, maxIter: Int = 25): (DataFrame, Int) = {
+      pairs: DataFrame, maxIter: Int = 25,
+      reliableCheckpoint: Boolean = false): (DataFrame, Int) = {
     require(pairs.columns.length >= 2,
       s"pairs needs >= 2 columns (edge endpoints); got ${pairs.columns.mkString(", ")}")
+    if (reliableCheckpoint)
+      require(spark.sparkContext.getCheckpointDir.isDefined,
+        "reliableCheckpoint=true needs spark.sparkContext.setCheckpointDir " +
+          "(distributed storage on a cluster) before calling")
+    // eager in both modes: the fixpoint loop needs each round MATERIALIZED
+    // before the next round's plan is built (plan truncation is the point)
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
     val Array(ca, cb) = pairs.columns.take(2)
     // checkpoint the edge list FIRST: `pairs` is typically the output of a
     // whole candidate-generation pipeline (shingle → index → join), and it
     // appears in four union branches of the expanded edge table below — a
     // lazy reference would recompute that pipeline once per branch (4× the
     // pair cost, measured on the n-gram path before this landed)
-    val e = pairs.select(col(ca).cast("long").as("u"), col(cb).cast("long").as("v"))
-      .localCheckpoint(true)
+    val e = ckpt(pairs.select(col(ca).cast("long").as("u"), col(cb).cast("long").as("v")))
     // both directions plus a self-loop per node: the hook join over this
     // table sees the CLOSED neighborhood, so the loop body is one join +
     // one agg — no per-round union (unioning a checkpointed table with its
@@ -474,8 +500,8 @@ object TrainingOps {
         und.select(col("u")).distinct().select(col("u"), col("u").as("v")))
       .persist()
 
-    var labels = undLoop.select(col("u").as("node")).distinct()
-      .select(col("node"), col("node").as("comp")).localCheckpoint(true)
+    var labels = ckpt(undLoop.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("comp")))
     var it = 0
     var changed = Long.MaxValue
     while (changed > 0) {
@@ -490,12 +516,11 @@ object TrainingOps {
         .select(col("u").as("node"), col("comp"))
       // jump: comp := comp's comp (labels are node ids, so every comp
       // resolves; left join guards the root, whose comp is itself)
-      val jumped = hooked.as("x")
+      val jumped = ckpt(hooked.as("x")
         .join(hooked.select(col("node").as("rn"), col("comp").as("rc")).as("r"),
           col("x.comp") === col("rn"), "left")
         .select(col("x.node").as("node"),
-          coalesce(col("rc"), col("x.comp")).as("comp"))
-        .localCheckpoint(true)
+          coalesce(col("rc"), col("x.comp")).as("comp")))
       changed = jumped.as("n")
         .join(labels.select(col("node"), col("comp").as("oldc")).as("o"), Seq("node"))
         .where(col("comp") =!= col("oldc")).count()
@@ -1022,20 +1047,41 @@ object TrainingOps {
     * table once and reuse it across eval sets. Uses the same word
     * tokenization + <n-word whole-text fallback as [[shingles]]. */
   def contaminationCheck(spark: SparkSession, docs: DataFrame,
-      n: Int = 8, evalMod: Int = 20): DataFrame = {
+      n: Int = 8, evalMod: Int = 20): DataFrame =
+    contaminationFromTrainGrams(spark, docs,
+      contaminationTrainGrams(spark, docs, n, evalMod), n, evalMod)
+
+  // split BEFORE gram generation: a filter after the typed flatMap cannot
+  // be pushed through it by Catalyst, so each branch would shingle the
+  // whole corpus; filtering docs first reaches the parquet scan and makes
+  // the eval branch proportional to the eval slice, not the corpus
+  private def gramsOf(spark: SparkSession, d: DataFrame, n: Int): DataFrame = {
     import spark.implicits._
-    // split BEFORE gram generation: a filter after the typed flatMap cannot
-    // be pushed through it by Catalyst, so each branch would shingle the
-    // whole corpus; filtering docs first reaches the parquet scan and makes
-    // the eval branch proportional to the eval slice, not the corpus
-    def gramsOf(d: DataFrame): DataFrame =
-      d.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
-        .flatMap { case (id, text) => shingles(text, n).iterator.map(g => (id, g)) }
-        .toDF("doc_id", "g")
-    val evalGrams = gramsOf(docs.where(pmod(col("doc_id").cast("long"), lit(evalMod)) === 0))
-    val trainGrams = gramsOf(docs.where(pmod(col("doc_id").cast("long"), lit(evalMod)) =!= 0))
+    d.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) => shingles(text, n).iterator.map(g => (id, g)) }
+      .toDF("doc_id", "g")
+  }
+
+  /** The DISTINCT train-side gram table — single column `g`. This is the
+    * production materialize-once artifact: write it through TableIO once
+    * per train snapshot, then run [[contaminationFromTrainGrams]] against
+    * any number of eval sets without re-shingling the (much larger) train
+    * corpus. */
+  def contaminationTrainGrams(spark: SparkSession, docs: DataFrame,
+      n: Int = 8, evalMod: Int = 20): DataFrame =
+    gramsOf(spark, docs.where(pmod(col("doc_id").cast("long"), lit(evalMod)) =!= 0), n)
       .select(col("g")).distinct()
-    evalGrams.join(trainGrams.withColumn("hit", lit(1L)), Seq("g"), "left")
+
+  /** Contamination check against an already-built DISTINCT train-gram
+    * table (stored or lazy — [[contaminationCheck]] is the lazy
+    * composition; the stored path scans parquet instead of re-running the
+    * train shingle stage per eval set). `trainGrams` MUST be distinct on
+    * `g`: the left join then has fan-out exactly 1 per eval gram. */
+  def contaminationFromTrainGrams(spark: SparkSession, docs: DataFrame,
+      trainGrams: DataFrame, n: Int = 8, evalMod: Int = 20): DataFrame = {
+    val evalGrams = gramsOf(spark,
+      docs.where(pmod(col("doc_id").cast("long"), lit(evalMod)) === 0), n)
+    evalGrams.join(trainGrams.select(col("g")).withColumn("hit", lit(1L)), Seq("g"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"), coalesce(sum(col("hit")), lit(0L)).as("n_overlap"))
       .select(col("doc_id"), col("n_grams"), col("n_overlap"),

@@ -18,6 +18,13 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // per-run warehouse: the store-read tests materialize the marker-gated
+    // extraction/shingle stores, and a shared cwd warehouse would persist
+    // them across test runs (stale-store confusion after a kernel change —
+    // round-5 ADVICE; the fingerprinted srcTags also guard this, but test
+    // isolation should not depend on it)
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-opsspec-wh").toString)
     .getOrCreate()
 
   override def beforeAll(): Unit = spark.sparkContext.setLogLevel("ERROR")
@@ -146,6 +153,14 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] {
       TrainingOps.stratifiedSample(spark, docsDf, Map("src0" -> 1.5))
     }
+
+    // contentCol needing quoting (dot would otherwise parse as a struct
+    // field access) resolves as a plain column and matches the default
+    val renamed = docsDf.withColumnRenamed("text", "doc.body")
+    val viaQuoted = TrainingOps.stratifiedSample(spark, renamed,
+        Map("src0" -> 0.5, "src1" -> 0.5), defaultWeight = 0.5, contentCol = "doc.body")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(viaQuoted == a)
   }
 
   test("materialized signature tables: pairs over a written-and-read-back table are identical") {
@@ -236,6 +251,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // empty graph: converges immediately to empty labels, no error
     assert(TrainingOps.connectedComponents(spark,
       Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0)
+  }
+
+  test("connected components: reliable-checkpoint mode is row-identical to localCheckpoint") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L), (31L, 30L))
+      .toDF("doc_a", "doc_b")
+    // reliable mode without a checkpoint dir must fail loudly, not NPE
+    // mid-iteration
+    val err = intercept[IllegalArgumentException](
+      TrainingOps.connectedComponents(spark, edges, reliableCheckpoint = true))
+    assert(err.getMessage.contains("setCheckpointDir"))
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ccckpt").toString
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    val reliable = TrainingOps.connectedComponents(spark, edges, reliableCheckpoint = true)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    val local = TrainingOps.connectedComponents(spark, edges)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(reliable == local && reliable.nonEmpty)
   }
 
   test("connected components match driver-side union-find on pseudo-random graphs") {
@@ -331,6 +365,20 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = TrainingOps.contaminationCheck(spark, docsDf, n = 3, evalMod = 2)
       .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getBoolean(4))).toList
     assert(r == List((0L, 7L, 6L, true), (2L, 8L, 0L, false), (4L, 7L, 6L, true)))
+  }
+
+  test("contamination from a stored train-gram table equals the lazy composition") {
+    // the production path: DISTINCT train grams written once, eval sets
+    // join the store — must be row-identical to contaminationCheck
+    val grams = TrainingOps.contaminationTrainGrams(spark, docsDf, n = 3, evalMod = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-traingrams").toString
+    graft.core.TableIO.write(grams, dir)
+    val stored = TrainingOps.contaminationFromTrainGrams(spark, docsDf,
+        graft.core.TableIO.read(spark, dir), n = 3, evalMod = 2)
+      .collect().map(_.toSeq).toSeq
+    val lazyPath = TrainingOps.contaminationCheck(spark, docsDf, n = 3, evalMod = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(stored == lazyPath && stored.nonEmpty)
   }
 
   test("vocab top-k: exact counts, count-desc token-asc order, tie at the k boundary deterministic") {
