@@ -58,7 +58,39 @@ object Bench {
   private def sync(): Unit =
     new ProcessBuilder("sync").inheritIO().start().waitFor()
 
+  private def readSmall(p: String): String =
+    try new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    catch { case _: Throwable => "" }
+
+  /** One JSON forensics event: free memory, cgroup memory limit, load
+    * average, /dev/shm usage. Recorded at extract-section start and at
+    * every child-JVM death, so the next rc=137 (or steal wave) is
+    * attributable from the committed artifact instead of reconstructed —
+    * the driver's round-5 OOM-kill left no environmental trace. */
+  private def envForensics(label: String, err: String = ""): String = {
+    val memAvailMiB = readSmall("/proc/meminfo").linesIterator
+      .find(_.startsWith("MemAvailable"))
+      .flatMap(_.split("\\s+").lift(1)).flatMap(_.toLongOption)
+      .map(_ / 1024).getOrElse(-1L)
+    // cgroup v2 then v1 (this box is v1); "max"/~2^63 = unlimited
+    val cgMax = Seq("/sys/fs/cgroup/memory.max",
+        "/sys/fs/cgroup/memory/memory.limit_in_bytes")
+      .map(readSmall).find(_.nonEmpty).getOrElse("")
+    val load = readSmall("/proc/loadavg").split(" ").take(3).mkString(" ")
+    val shmUsedMiB = try {
+      val fs = java.nio.file.Files.getFileStore(java.nio.file.Paths.get("/dev/shm"))
+      (fs.getTotalSpace - fs.getUsableSpace) / (1024L * 1024L)
+    } catch { case _: Throwable => -1L }
+    def js(s: String) = "\"" + s.replaceAll("[\"\\\\\n\r\t]", " ") + "\""
+    s"""{"at":${js(label)},"mem_available_mib":$memAvailMiB,""" +
+      s""""cgroup_memory_max":${js(cgMax)},"loadavg":${js(load)},""" +
+      s""""devshm_used_mib":$shmUsedMiB""" +
+      (if (err.isEmpty) "}" else s""","err":${js(err.take(160))}}""")
+  }
+
   def main(args: Array[String]): Unit = {
+    val envEvents = scala.collection.mutable.ArrayBuffer.empty[String]
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpusN = sys.env.getOrElse("SPARK_GRAFT_CPUS_N", "2").toInt
     // 4N is ALWAYS derived from N (dedicated override only): round 1 reused
@@ -136,6 +168,45 @@ object Bench {
       CorpusWriter.write(spark, nDocs, corpus, parts)
       CorpusWriter.write(spark, math.max(20000L, nDocs / 4), warmCorpus, parts)
       spark.stop()
+      envEvents += envForensics("extract_start")
+
+      def deleteRec(p: String): Unit = try {
+        import scala.jdk.CollectionConverters._
+        val path = java.nio.file.Paths.get(p)
+        if (java.nio.file.Files.exists(path))
+          java.nio.file.Files.walk(path).iterator().asScala.toSeq.reverse
+            .foreach(x => java.nio.file.Files.deleteIfExists(x))
+      } catch { case _: Throwable => () }
+
+      // Degraded fallback (VERDICT r5 #1): when a level's child JVM dies
+      // twice, its remaining runs execute IN-PROCESS in this JVM. Lower
+      // fidelity — the parent's heap/GC sizing doesn't scale with the
+      // level, which is the whole point of child JVMs — so the result is
+      // flagged "degraded", but any real throughput number beats the -1
+      // the driver's round-5 artifact shipped when one rc=137 aborted the
+      // entire section. One live session at a time, rebuilt on a core-count
+      // switch (getOrCreate would silently reuse the wrong master).
+      var inproc: Option[(Int, SparkSession)] = None
+      def inprocRun(cpus: Int, tag: String, r: Int): Double = {
+        val s = inproc match {
+          case Some((c, ses)) if c == cpus => ses
+          case other =>
+            other.foreach(_._2.stop())
+            val ses = session(cpus, cpus)
+            ses.sparkContext.setLogLevel("WARN")
+            graft.job.ExtractJob.run(ses, warmCorpus, s"$base/warm_ip_$tag",
+              s"warm_ip_$tag", parts)
+            deleteRec(s"$base/warm_ip_$tag")
+            inproc = Some((cpus, ses)); ses
+        }
+        sync()
+        deleteRec(s"$base/out_ip_${tag}_$r")
+        val t = time(graft.job.ExtractJob.run(s, corpus, s"$base/out_ip_${tag}_$r",
+          s"ip_${tag}_$r", parts))
+        sync()
+        deleteRec(s"$base/out_ip_${tag}_$r")
+        t
+      }
 
       // Each level runs in its OWN child JVM (graft.BenchLevel) with GC
       // parallelism proportional to its core count — a shared JVM hands the
@@ -154,42 +225,94 @@ object Bench {
       // numbers; interleaving gives both levels equal exposure to the
       // noise waves, so both minima sample the quiet windows. Per-pass
       // ratios go to stderr for transparency.
-      final class Level(cpus: Int, tag: String, warms: Int) {
-        import scala.jdk.CollectionConverters._
-        private val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean
-          .getInputArguments.asScala.toSeq
-          .filterNot(a => a.startsWith("-XX:ParallelGCThreads") ||
-            a.startsWith("-XX:ConcGCThreads"))
-        private val gc = Seq(
-          s"-XX:ParallelGCThreads=${math.min(8, cpus)}",
-          s"-XX:ConcGCThreads=${math.max(1, math.min(2, cpus / 4))}")
-        private val javaBin = java.nio.file.Paths.get(
-          System.getProperty("java.home"), "bin", "java").toString
-        // under spark-submit the app jar is NOT on java.class.path (it's
-        // loaded by a child classloader) — append the artifact that holds
-        // this class; under sbt it's a harmless duplicate of classes/
-        private val selfJar = classOf[Bench.type].getProtectionDomain
-          .getCodeSource.getLocation.getPath
-        private val cp = System.getProperty("java.class.path") +
-          java.io.File.pathSeparator + selfJar
-        private val cmd = Seq(javaBin) ++ inherited ++ gc ++ Seq(
-          "-cp", cp, "graft.BenchLevel",
-          corpus, warmCorpus, base, cpus.toString, parts.toString,
-          warms.toString, tag)
-        private val proc = new ProcessBuilder(cmd: _*)
-          .redirectError(ProcessBuilder.Redirect.INHERIT).start()
-        private val out = new java.io.BufferedReader(
-          new java.io.InputStreamReader(proc.getInputStream))
-        private val in = new java.io.PrintWriter(proc.getOutputStream, true)
-        private def await(prefix: String): String = {
-          var l = out.readLine()
-          while (l != null && !l.startsWith(prefix)) l = out.readLine()
-          if (l == null) sys.error(s"BenchLevel($cpus) died (rc=${proc.waitFor()})")
-          l.stripPrefix(prefix)
+      // Child management is death-resilient (VERDICT r5 #1): heaps capped
+      // ∝ cores (4/8/12 GiB at 2/8/32 — the 2-core child inheriting the
+      // parent's full -Xmx16g ×3 concurrent children was a driver-side
+      // OOM ingredient), a dead child is respawned ONCE (fresh warm-up;
+      // the retried run id's partial output is cleared child-side), and a
+      // second death degrades the level to in-process runs. Every death
+      // appends an envForensics event.
+      final class Level(val cpus: Int, val tag: String, warms: Int) {
+        private val heapGiB = math.max(4, math.min(12, cpus))
+        var deaths = 0
+        var usedInproc = false
+
+        private final class Child {
+          import scala.jdk.CollectionConverters._
+          private val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean
+            .getInputArguments.asScala.toSeq
+            .filterNot(a => a.startsWith("-XX:ParallelGCThreads") ||
+              a.startsWith("-XX:ConcGCThreads") || a.startsWith("-Xmx") ||
+              a.startsWith("-Xms") || a.startsWith("-XX:MaxRAMPercentage"))
+          private val jvmFlags = Seq(
+            s"-Xmx${heapGiB}g",
+            s"-XX:ParallelGCThreads=${math.min(8, cpus)}",
+            s"-XX:ConcGCThreads=${math.max(1, math.min(2, cpus / 4))}")
+          private val javaBin = java.nio.file.Paths.get(
+            System.getProperty("java.home"), "bin", "java").toString
+          // under spark-submit the app jar is NOT on java.class.path (it's
+          // loaded by a child classloader) — append the artifact that holds
+          // this class; under sbt it's a harmless duplicate of classes/
+          private val selfJar = classOf[Bench.type].getProtectionDomain
+            .getCodeSource.getLocation.getPath
+          private val cp = System.getProperty("java.class.path") +
+            java.io.File.pathSeparator + selfJar
+          private val cmd = Seq(javaBin) ++ inherited ++ jvmFlags ++ Seq(
+            "-cp", cp, "graft.BenchLevel",
+            corpus, warmCorpus, base, cpus.toString, parts.toString,
+            warms.toString, tag)
+          private val proc = new ProcessBuilder(cmd: _*)
+            .redirectError(ProcessBuilder.Redirect.INHERIT).start()
+          private val out = new java.io.BufferedReader(
+            new java.io.InputStreamReader(proc.getInputStream))
+          private val in = new java.io.PrintWriter(proc.getOutputStream, true)
+          private def await(prefix: String): String = {
+            var l = out.readLine()
+            while (l != null && !l.startsWith(prefix)) l = out.readLine()
+            if (l == null) sys.error(s"BenchLevel($cpus) died (rc=${proc.waitFor()})")
+            l.stripPrefix(prefix)
+          }
+          await("BENCH_LEVEL_READY") // child is warmed
+          def run(r: Int): Double = { in.println(s"RUN $r"); await("BENCH_LEVEL_RUN_SEC=").toDouble }
+          def close(): Unit = { in.println("EXIT"); proc.waitFor() }
+          def kill(): Unit = proc.destroyForcibly()
         }
-        await("BENCH_LEVEL_READY") // child is warmed
-        def run(r: Int): Double = { in.println(s"RUN $r"); await("BENCH_LEVEL_RUN_SEC=").toDouble }
-        def close(): Unit = { in.println("EXIT"); proc.waitFor() }
+
+        private def noteDeath(e: Throwable): Unit = {
+          deaths += 1
+          envEvents += envForensics(s"death_$tag", String.valueOf(e.getMessage))
+          System.err.println(s"BENCH_LEVEL_DEATH $tag #$deaths: ${e.getMessage}")
+        }
+        private def trySpawn(): Option[Child] =
+          try Some(new Child) catch { case e: Throwable => noteDeath(e); None }
+        // the initial spawn gets the same one-respawn budget as a mid-run
+        // death (a child can be OOM-killed during warm-up, as round 5's was)
+        private var child: Option[Child] =
+          trySpawn().orElse(if (deaths < 2) trySpawn() else None)
+
+        def run(r: Int): Double = child match {
+          case Some(c) =>
+            try c.run(r)
+            catch {
+              case e: Throwable =>
+                noteDeath(e); c.kill()
+                child = if (deaths < 2) trySpawn() else None
+                child match {
+                  case Some(c2) =>
+                    try c2.run(r)
+                    catch { case e2: Throwable =>
+                      noteDeath(e2); c2.kill(); child = None
+                      usedInproc = true; inprocRun(cpus, tag, r)
+                    }
+                  case None => usedInproc = true; inprocRun(cpus, tag, r)
+                }
+            }
+          case None => usedInproc = true; inprocRun(cpus, tag, r)
+        }
+        def close(): Unit = {
+          child.foreach(c => try c.close() catch { case _: Throwable => c.kill() })
+          child = None
+        }
       }
 
       // The 4N child runs the full-corpus pre-pass (13 s vs 45 s at N —
@@ -202,69 +325,79 @@ object Bench {
       // min estimator needs more 4N draws to sample the same quiet-window
       // floor the N level reaches easily. Cheap: each extra draw is the
       // short run.
+      // Levels close in a finally: an exception anywhere in the pass loop
+      // previously leaked serve-mode children for the rest of the bench
+      // (round-5 ADVICE #3).
       val lvl4N = new Level(cpus4N, "4n", 2)
-      val t4N0 = lvl4N.run(0) // pre-pass under the cheap child
-      // The all-cores child joins the interleave (round 4's committed
-      // artifact showed docs_per_sec_max BELOW the 8-core figure: the max
-      // level ran as its own post-hoc batch and its min-of-4 sat entirely
-      // inside one steal wave — exactly the per-level-batching failure the
-      // criterion levels were already protected from). One draw per pass,
-      // plus a resample guard after the passes.
-      val lvlMax = if (cpusMax != cpus4N) Some(new Level(cpusMax, "max", 1)) else None
-      val maxDraws = scala.collection.mutable.ArrayBuffer.empty[Double]
-      lvlMax.foreach(m => maxDraws += m.run(0))
-      val lvlN = new Level(cpusN, "n", 2)
-      val passes = (1 to reps).map { p =>
-        val tN = lvlN.run(p)
-        val t4Na = lvl4N.run(p)
-        val t4Nb = lvl4N.run(p + 100)
-        lvlMax.foreach(m => maxDraws += m.run(p))
-        val t4N = math.min(t4Na, t4Nb)
-        System.err.println(f"BENCH_PASS $p t_n=$tN%.2f t_4n=$t4Na%.2f/$t4Nb%.2f eff=${tN / t4N / (cpus4N.toDouble / cpusN)}%.3f")
-        (tN, t4Na, t4Nb)
-      }
-      lvlN.close(); lvl4N.close()
-      // ALL raw draws are recorded in BENCH_DETAILS.json (samples_n /
-      // samples_4n): the 4N level deliberately gets 2·reps+1 min-draws vs
-      // reps for N (steal waves hit the higher-core JVM disproportionately —
-      // BASELINE.md), and a min over more draws is biased low even on a
-      // quiet host, so the asymmetry must be visible next to the ≥0.8
-      // criterion; eff_matched_draws recomputes efficiency from the first
-      // 4N draw of each pass only (equal draw counts per level).
-      val samplesN = passes.map(_._1)
-      val samples4N = t4N0 +: passes.flatMap(p => Seq(p._2, p._3))
-      val secN = samplesN.min
-      val sec4N = samples4N.min
-      val effMatched = secN / (passes.map(_._2).min * (cpus4N.toDouble / cpusN))
-
-      // Resample guard on the all-cores figure: steady-state 32-core
-      // throughput can never sit below the 8-core figure on this box (the
-      // raw-kernel 8→32 hardware ceiling is 0.71 efficiency, nowhere near
-      // <0.25), so min(max draws) > min(4N draws) means every max draw so
-      // far landed inside host-steal waves — draw again, up to 3 extra,
-      // rather than commit a physically impossible ordering (round 2
-      // shipped 14,949 docs/s at 32 cores from a min-of-2; round 4's
-      // driver artifact shipped 17,060 < the 8-core 28,214 the same way).
-      lvlMax.foreach { m =>
-        var extra = 0
-        while (maxDraws.min > sec4N && extra < 3) {
-          maxDraws += m.run(200 + extra); extra += 1
+      var lvlN: Level = null
+      var lvlMax: Option[Level] = None
+      val stats = try {
+        val t4N0 = lvl4N.run(0) // pre-pass under the cheap child
+        // The all-cores child joins the interleave (round 4's committed
+        // artifact showed docs_per_sec_max BELOW the 8-core figure: the max
+        // level ran as its own post-hoc batch and its min-of-4 sat entirely
+        // inside one steal wave — exactly the per-level-batching failure the
+        // criterion levels were already protected from). One draw per pass,
+        // plus a resample guard after the passes.
+        lvlMax = if (cpusMax != cpus4N) Some(new Level(cpusMax, "max", 1)) else None
+        val maxDraws = scala.collection.mutable.ArrayBuffer.empty[Double]
+        lvlMax.foreach(m => maxDraws += m.run(0))
+        lvlN = new Level(cpusN, "n", 2)
+        val passes = (1 to reps).map { p =>
+          val tN = lvlN.run(p)
+          val t4Na = lvl4N.run(p)
+          val t4Nb = lvl4N.run(p + 100)
+          lvlMax.foreach(m => maxDraws += m.run(p))
+          val t4N = math.min(t4Na, t4Nb)
+          System.err.println(f"BENCH_PASS $p t_n=$tN%.2f t_4n=$t4Na%.2f/$t4Nb%.2f eff=${tN / t4N / (cpus4N.toDouble / cpusN)}%.3f")
+          (tN, t4Na, t4Nb)
         }
-        m.close()
+        // ALL raw draws are recorded in BENCH_DETAILS.json (samples_n /
+        // samples_4n): the 4N level deliberately gets 2·reps+1 min-draws vs
+        // reps for N (steal waves hit the higher-core JVM disproportionately —
+        // BASELINE.md), and a min over more draws is biased low even on a
+        // quiet host, so the asymmetry must be visible next to the ≥0.8
+        // criterion; eff_matched_draws recomputes efficiency from the first
+        // 4N draw of each pass only (equal draw counts per level).
+        val samplesN = passes.map(_._1)
+        val samples4N = t4N0 +: passes.flatMap(p => Seq(p._2, p._3))
+        val secN = samplesN.min
+        val sec4N = samples4N.min
+        val effMatched = secN / (passes.map(_._2).min * (cpus4N.toDouble / cpusN))
+
+        // Resample guard on the all-cores figure: steady-state 32-core
+        // throughput can never sit below the 8-core figure on this box (the
+        // raw-kernel 8→32 hardware ceiling is 0.71 efficiency, nowhere near
+        // <0.25), so min(max draws) > min(4N draws) means every max draw so
+        // far landed inside host-steal waves — draw again, up to 3 extra,
+        // rather than commit a physically impossible ordering (round 2
+        // shipped 14,949 docs/s at 32 cores from a min-of-2; round 4's
+        // driver artifact shipped 17,060 < the 8-core 28,214 the same way).
+        lvlMax.foreach { m =>
+          var extra = 0
+          while (maxDraws.min > sec4N && extra < 3) {
+            maxDraws += m.run(200 + extra); extra += 1
+          }
+        }
+        val samplesMax: Seq[Double] = maxDraws.toSeq
+        val secMax = if (lvlMax.isDefined) samplesMax.min else sec4N
+
+        val levels = Seq(Some(lvl4N), Option(lvlN), lvlMax).flatten
+        ExtractStats(nDocs, parts, reps, cpusN, cpus4N, cpusMax, secN, sec4N, secMax,
+          samplesN, samples4N, samplesMax, effMatched,
+          levels.map(_.deaths).sum, levels.filter(_.usedInproc).map(_.tag))
+      } finally {
+        Seq(Some(lvl4N), Option(lvlN), lvlMax).flatten
+          .foreach(l => try l.close() catch { case _: Throwable => () })
+        inproc.foreach(i => try i._2.stop() catch { case _: Throwable => () })
+        inproc = None
       }
-      val samplesMax: Seq[Double] = maxDraws.toSeq
-      val secMax = if (lvlMax.isDefined) samplesMax.min else sec4N
 
       // free the memory-backed working set (repeated runs would otherwise
       // accumulate gigabytes in /dev/shm)
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(java.nio.file.Paths.get(base)).iterator().asScala
-          .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: Throwable => () }
+      deleteRec(base)
 
-      Right(ExtractStats(nDocs, parts, reps, cpusN, cpus4N, cpusMax, secN, sec4N, secMax,
-        samplesN, samples4N, samplesMax, effMatched))
+      Right(stats)
     } catch {
       case e: Throwable => Left(String.valueOf(e.getMessage).take(200)
         .replaceAll("[\"\\\\\n\r\t]", " "))
@@ -277,7 +410,8 @@ object Bench {
 
     // Full detail (extract section + 3-decimal query timings) → side file +
     // stderr; stdout carries exactly ONE compact JSON line, printed last.
-    val detail = s"""{"extract":$extractJson,"query_reps":$queryReps,""" +
+    val detail = s"""{"extract":$extractJson,""" +
+      s""""env":${envEvents.mkString("[", ",", "]")},"query_reps":$queryReps,""" +
       s""""queries":$queriesJsonFull,""" +
       f""""queries_total_sec":$totalSec%.3f,"sf":"$sfDir"}"""
     try Files.writeString(java.nio.file.Paths.get("BENCH_DETAILS.json"), detail + "\n")
@@ -289,7 +423,8 @@ object Bench {
         f""""value":${s.dps4N}%.1f,"scaling_efficiency":${s.eff}%.3f,""" +
           f""""cores_n":${s.coresN},"cores_4n":${s.cores4N},""" +
           f""""docs_per_sec_n":${s.dpsN}%.1f,"docs_per_sec_max":${s.dpsMax}%.1f,""" +
-          f""""cores_max":${s.coresMax},"docs":${s.docs}"""
+          f""""cores_max":${s.coresMax},"docs":${s.docs}""" +
+          (if (s.degraded) s""","degraded":true""" else "")
       case Left(_) =>
         s""""value":-1,"scaling_efficiency":-1,"cores_n":$cpusN,"cores_4n":$cpus4N,""" +
           s""""docs_per_sec_n":-1,"docs_per_sec_max":-1,"cores_max":$cpusMax,"docs":$nDocs"""
@@ -306,13 +441,19 @@ object Bench {
     if (!spark.sparkContext.isStopped) spark.stop()
   }
 
-  /** Extraction-section results; every serialization derives from here. */
+  /** Extraction-section results; every serialization derives from here.
+    * `childDeaths` counts child-JVM deaths absorbed by respawn;
+    * `degradedLevels` names levels that fell back to in-process runs
+    * (their numbers carry the parent's heap/GC sizing — flagged, not
+    * hidden). */
   final case class ExtractStats(
       docs: Long, parts: Int, reps: Int,
       coresN: Int, cores4N: Int, coresMax: Int,
       secN: Double, sec4N: Double, secMax: Double,
       samplesN: Seq[Double], samples4N: Seq[Double], samplesMax: Seq[Double],
-      effMatched: Double) {
+      effMatched: Double,
+      childDeaths: Int = 0, degradedLevels: Seq[String] = Nil) {
+    def degraded: Boolean = degradedLevels.nonEmpty
     def dpsN: Double = docs / secN
     def dps4N: Double = docs / sec4N
     def dpsMax: Double = docs / secMax
@@ -328,6 +469,8 @@ object Bench {
         s""""n_samples_max":${samplesMax.size},""" +
         s""""samples_n":${arr(samplesN)},"samples_4n":${arr(samples4N)},""" +
         s""""samples_max":${arr(samplesMax)},""" +
-        f""""scaling_efficiency_matched_draws":$effMatched%.3f}"""
+        f""""scaling_efficiency_matched_draws":$effMatched%.3f,""" +
+        s""""child_deaths":$childDeaths,"degraded":$degraded,""" +
+        s""""degraded_levels":${degradedLevels.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
   }
 }

@@ -35,6 +35,19 @@ object BenchLevel {
   private def sync(): Unit =
     new ProcessBuilder("sync").inheritIO().start().waitFor()
 
+  // every run's output is deleted right after timing (untimed, before the
+  // parent is told the run finished): the working set lives on /dev/shm —
+  // RAM — and accumulating one output copy per warm+measured run (~12+
+  // by pass 3 of a full bench) is exactly the monotonic memory growth that
+  // OOM-killed the driver's round-5 child (rc=137)
+  private def deleteRec(p: String): Unit = try {
+    import scala.jdk.CollectionConverters._
+    val path = java.nio.file.Paths.get(p)
+    if (java.nio.file.Files.exists(path))
+      java.nio.file.Files.walk(path).iterator().asScala.toSeq.reverse
+        .foreach(x => java.nio.file.Files.deleteIfExists(x))
+  } catch { case _: Throwable => () }
+
   def main(args: Array[String]): Unit = {
     val Array(corpus, warmCorpus, base, cpusS, partsS, warmsS, tag) = args
     val cpus = cpusS.toInt; val parts = partsS.toInt; val warms = warmsS.toInt
@@ -46,8 +59,10 @@ object BenchLevel {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      (1 to warms).foreach(w =>
-        ExtractJob.run(spark, warmCorpus, s"$base/warm${w}_$tag", s"warm${w}_$tag", parts))
+      (1 to warms).foreach { w =>
+        ExtractJob.run(spark, warmCorpus, s"$base/warm${w}_$tag", s"warm${w}_$tag", parts)
+        deleteRec(s"$base/warm${w}_$tag")
+      }
       sync()
       println("BENCH_LEVEL_READY")
       Console.out.flush()
@@ -56,8 +71,14 @@ object BenchLevel {
       while (line != null && !line.startsWith("EXIT")) {
         if (line.startsWith("RUN ")) {
           val r = line.stripPrefix("RUN ").trim
+          // clear any partial output first: after a child death the parent
+          // retries the SAME run id in a respawned child, and the job's
+          // resume logic would otherwise skip the already-committed slice
+          // of the dead child's run — a falsely fast timing
+          deleteRec(s"$base/out_${tag}_$r")
           val t = time(ExtractJob.run(spark, corpus, s"$base/out_${tag}_$r", s"meas_${tag}_$r", parts))
           sync()
+          deleteRec(s"$base/out_${tag}_$r")
           println(f"BENCH_LEVEL_RUN_SEC=$t%.3f")
           Console.out.flush()
         }
