@@ -27,10 +27,12 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
-  test("oracle coverage: only the kernel-vs-golden self-compare lacks an oracle") {
+  test("oracle coverage: every query has a DuckDB oracle") {
     // everything downstream of the kernel is DuckDB-replayed over the
-    // materialized extraction spans since round 5; j5 IS the comparison
-    val kernelOnly = Set("j5_golden_compare")
+    // materialized extraction spans since round 5; since round 6 even
+    // j5_golden_compare is oracled (row-set comparison of the two dumped
+    // extractor stores), so NOTHING may lack an oracle
+    val kernelOnly = Set.empty[String]
     val missing = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
     assert(missing == kernelOnly,
       s"oracle coverage drifted: unexpected=${missing.diff(kernelOnly)} " +
