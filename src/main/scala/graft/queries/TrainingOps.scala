@@ -1047,19 +1047,34 @@ object TrainingOps {
     * table once and reuse it across eval sets. Uses the same word
     * tokenization + <n-word whole-text fallback as [[shingles]]. */
   def contaminationCheck(spark: SparkSession, docs: DataFrame,
-      n: Int = 8, evalMod: Int = 20): DataFrame =
+      n: Int = 8, evalMod: Int = 20, hashGrams: Boolean = false): DataFrame =
     contaminationFromTrainGrams(spark, docs,
-      contaminationTrainGrams(spark, docs, n, evalMod), n, evalMod)
+      contaminationTrainGrams(spark, docs, n, evalMod, hashGrams),
+      n, evalMod, hashGrams)
 
   // split BEFORE gram generation: a filter after the typed flatMap cannot
   // be pushed through it by Catalyst, so each branch would shingle the
   // whole corpus; filtering docs first reaches the parquet scan and makes
-  // the eval branch proportional to the eval slice, not the corpus
-  private def gramsOf(spark: SparkSession, d: DataFrame, n: Int): DataFrame = {
+  // the eval branch proportional to the eval slice, not the corpus.
+  // `hashed` replaces each gram string with its FNV-1a64 — the SCALE form:
+  // an 8-word gram averages ~50 bytes and the distinct-gram join shuffles
+  // the whole gram column, so hashing cuts shuffle bytes ~6-8× (measured:
+  // the string form exhausted a 17 GB spill disk at 1M docs where the
+  // hashed form fits); a 64-bit collision needs ~2^32 distinct grams to
+  // become likely, and a collision's only effect is one spurious
+  // overlapping gram. The string form is the oracle face (DuckDB replays
+  // gram text); results are identical at every tested scale.
+  private def gramsOf(spark: SparkSession, d: DataFrame, n: Int,
+      hashed: Boolean): DataFrame = {
     import spark.implicits._
-    d.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
-      .flatMap { case (id, text) => shingles(text, n).iterator.map(g => (id, g)) }
-      .toDF("doc_id", "g")
+    val docGrams = d.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+    if (hashed)
+      docGrams.flatMap { case (id, text) =>
+          shingles(text, n).iterator.map(g => (id, fnv1a64(g))) }
+        .toDF("doc_id", "g")
+    else
+      docGrams.flatMap { case (id, text) => shingles(text, n).iterator.map(g => (id, g)) }
+        .toDF("doc_id", "g")
   }
 
   /** The DISTINCT train-side gram table — single column `g`. This is the
@@ -1068,8 +1083,9 @@ object TrainingOps {
     * any number of eval sets without re-shingling the (much larger) train
     * corpus. */
   def contaminationTrainGrams(spark: SparkSession, docs: DataFrame,
-      n: Int = 8, evalMod: Int = 20): DataFrame =
-    gramsOf(spark, docs.where(pmod(col("doc_id").cast("long"), lit(evalMod)) =!= 0), n)
+      n: Int = 8, evalMod: Int = 20, hashGrams: Boolean = false): DataFrame =
+    gramsOf(spark, docs.where(pmod(col("doc_id").cast("long"), lit(evalMod)) =!= 0),
+        n, hashGrams)
       .select(col("g")).distinct()
 
   /** Contamination check against an already-built DISTINCT train-gram
@@ -1078,9 +1094,10 @@ object TrainingOps {
     * train shingle stage per eval set). `trainGrams` MUST be distinct on
     * `g`: the left join then has fan-out exactly 1 per eval gram. */
   def contaminationFromTrainGrams(spark: SparkSession, docs: DataFrame,
-      trainGrams: DataFrame, n: Int = 8, evalMod: Int = 20): DataFrame = {
+      trainGrams: DataFrame, n: Int = 8, evalMod: Int = 20,
+      hashGrams: Boolean = false): DataFrame = {
     val evalGrams = gramsOf(spark,
-      docs.where(pmod(col("doc_id").cast("long"), lit(evalMod)) === 0), n)
+      docs.where(pmod(col("doc_id").cast("long"), lit(evalMod)) === 0), n, hashGrams)
     evalGrams.join(trainGrams.select(col("g")).withColumn("hit", lit(1L)), Seq("g"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"), coalesce(sum(col("hit")), lit(0L)).as("n_overlap"))

@@ -367,6 +367,14 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r == List((0L, 7L, 6L, true), (2L, 8L, 0L, false), (4L, 7L, 6L, true)))
   }
 
+  test("contamination with hashed grams (the scale form) equals the string-gram form") {
+    val hashed = TrainingOps.contaminationCheck(spark, docsDf, n = 3, evalMod = 2,
+      hashGrams = true).collect().map(_.toSeq).toSeq
+    val strings = TrainingOps.contaminationCheck(spark, docsDf, n = 3, evalMod = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(hashed == strings && hashed.nonEmpty)
+  }
+
   test("contamination from a stored train-gram table equals the lazy composition") {
     // the production path: DISTINCT train grams written once, eval sets
     // join the store — must be row-identical to contaminationCheck
