@@ -349,7 +349,17 @@ object TrainingOps {
 
   /** Pair generation over an existing shingle table (see [[ngramShingles]]
     * for the contract; [[ngramJaccardPairs]] composes the two for the lazy
-    * single-query path). */
+    * single-query path).
+    *
+    * Scale envelope: candidate fan-out is Σ df(df−1)/2 over kept shingles,
+    * so total work is governed by the df DISTRIBUTION under `maxDf`, not
+    * just the cap — on a Zipf-vocabulary corpus the mid-df band alone
+    * costs minutes by 50k docs (measured: 155 s at 50k, growing
+    * quadratically). This EXACT path is the oracle/bench face and the
+    * verify step for candidate pairs; corpus-scale near-dup detection
+    * generates candidates with minhash LSH (banded, hot-bucket capped —
+    * [[minhashPairs]]) and resolves clusters with [[connectedComponents]],
+    * the composition `tools/CurationScale` runs at 1M docs. */
   def ngramJaccardFromShingles(spark: SparkSession, shAll: DataFrame,
       minJaccard: Double = 0.05, maxDf: Int = 10000): DataFrame = {
     import spark.implicits._
