@@ -760,6 +760,18 @@ object SparkEntry {
     // k=20 < the corpus vocabulary, so the limit genuinely truncates and
     // the rank-k boundary (count ties broken token-asc) is exercised
     "ta_vocab_topk" -> ((s, d) => TrainingOps.vocabTopK(t(s, d, "documents"), k = 20)),
+    // CCNet-style unigram-LM scoring (nats/token against the corpus's own
+    // unigram distribution; flag = rare-token-heavy docs)
+    "ta_perplexity" -> ((s, d) => TrainingOps.unigramLogProb(t(s, d, "documents"))),
+    // greedy sample packing into 512-token context windows, 64 shards
+    "ta_seq_pack" -> ((s, d) => TrainingOps.sequencePack(s, t(s, d, "documents"))),
+    // contamination with a broadcast Bloom pre-filter on the eval grams —
+    // result-identical to ta_contamination (shares its oracle); the exact
+    // join input shrinks to true overlaps + fpp false positives
+    "ta_contamination_bloom" ->
+      ((s, d) => TrainingOps.contaminationCheckBloom(s, t(s, d, "documents"))),
+    // temperature-scaled source mixing weights (τ=0.5 upweights rare sources)
+    "ta_mix_weights" -> ((s, d) => TrainingOps.sourceMixWeights(t(s, d, "documents"))),
 
     // ------------------------- curation funnel (extract → filter → dedup)
     // all stage counts in ONE conditional-aggregation scan of the extraction
@@ -817,7 +829,8 @@ object SparkEntry {
     base + ("dd_minhash_stored" -> base("dd_minhash_pairs")) +
       ("dd_ngram_stored" -> base("dd_ngram_jaccard")) +
       ("dd_simhash_stored" -> base("dd_simhash_pairs")) +
-      ("ta_contamination_stored" -> base("ta_contamination"))
+      ("ta_contamination_stored" -> base("ta_contamination")) +
+      ("ta_contamination_bloom" -> base("ta_contamination"))
   }
 
   private def baseOracleSql: Map[String, String] = OracleAnn.entries ++ Map(
@@ -1490,6 +1503,56 @@ object SparkEntry {
         |FROM base b LEFT JOIN bgc ON b.doc_id = bgc.doc_id
         |  LEFT JOIN tgc ON b.doc_id = tgc.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+    // unigram-LM replay: same tokenization as ta_vocab_topk; the grand
+    // total is a scalar cross join; avg neg-ln-prob quantized 4dp on BOTH
+    // sides (summation order differs across engines) and the flag compares
+    // the quantized value
+    "ta_perplexity" ->
+      """WITH w AS (SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |dt AS (SELECT doc_id, token, count(*) AS c FROM w GROUP BY 1, 2),
+        |v AS (SELECT token, count(*) AS n FROM w GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM v)
+        |SELECT dt.doc_id, CAST(sum(dt.c) AS BIGINT) AS n_tokens,
+        | floor(sum(dt.c * -ln(CAST(v.n AS DOUBLE) / tot.t)) / sum(dt.c)
+        |   * 10000 + 0.5) / 10000 AS avg_neg_logprob,
+        | floor(sum(dt.c * -ln(CAST(v.n AS DOUBLE) / tot.t)) / sum(dt.c)
+        |   * 10000 + 0.5) / 10000 >= CAST(3.5 AS DOUBLE) AS flagged
+        |FROM dt JOIN v USING (token), tot
+        |GROUP BY dt.doc_id ORDER BY dt.doc_id""".stripMargin,
+    // sequence-packing replay: greedy first-fit scan per shard is a
+    // recursive CTE advancing one document per iteration per shard (the
+    // same one-step-per-row pattern as the chunker oracle — a cumulative
+    // sum that RESETS on overflow is not a window function)
+    "ta_seq_pack" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id % 64 AS shard, doc_id,
+        |    len(regexp_extract_all(text, '\S+')) AS n_tok,
+        |    row_number() OVER (PARTITION BY doc_id % 64 ORDER BY doc_id) AS i
+        |  FROM documents),
+        |r AS (
+        |  SELECT shard, i, doc_id, n_tok, 0 AS bin, n_tok AS fill
+        |  FROM d WHERE i = 1
+        |  UNION ALL
+        |  SELECT d.shard, d.i, d.doc_id, d.n_tok,
+        |    CASE WHEN r.fill + d.n_tok <= 512 THEN r.bin ELSE r.bin + 1 END,
+        |    CASE WHEN r.fill + d.n_tok <= 512 THEN r.fill + d.n_tok ELSE d.n_tok END
+        |  FROM r JOIN d ON d.shard = r.shard AND d.i = r.i + 1)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard, CAST(bin AS BIGINT) AS bin,
+        |  CAST(n_tok AS BIGINT) AS n_tok
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // mixing-weights replay: per-source token totals, τ=0.5 power
+    // normalized by the scalar sum, quantized 4dp both sides
+    "ta_mix_weights" ->
+      """WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |z AS (SELECT sum(pow(CAST(n_tokens AS DOUBLE), CAST(0.5 AS DOUBLE))) AS z FROM per)
+        |SELECT source, n_docs, n_tokens,
+        |  floor(pow(CAST(n_tokens AS DOUBLE), CAST(0.5 AS DOUBLE)) / z.z
+        |    * 10000 + 0.5) / 10000 AS weight
+        |FROM per, z ORDER BY source""".stripMargin,
     // contamination replay: the gram set per doc (DISTINCT ≡ the engine's
     // Set-valued shingles, incl. the <n-word whole-text fallback), train
     // side reduced to DISTINCT grams before the join (fan-out 1 per gram)

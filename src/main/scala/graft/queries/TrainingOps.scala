@@ -1159,4 +1159,140 @@ object TrainingOps {
           lit(phone), lit("[PHONE]"))).as("scrub_hash"))
       .orderBy(col("doc_id"))
   }
+
+  /** Unigram-LM document scoring — the CCNet-style perplexity quality
+    * filter (Wenzek et al. 2020 §4.3, simplified to a unigram model so the
+    * score is exactly reproducible without a trained KenLM artifact). The
+    * LM is the corpus's own unigram distribution; each document scores the
+    * average negative natural-log probability of its tokens
+    * (nats/token — low = stereotypical text, high = rare-token-heavy).
+    * Shape: one tokenize pass feeds both the per-(doc,token) counts and the
+    * vocabulary counts; the score join is keyed on token with the per-doc
+    * side pre-aggregated, so a stop word contributes ONE row per document
+    * (fan-out 1, same discipline as the contamination join), never one row
+    * per occurrence; the grand-total is a 1-row broadcast. Two shuffles
+    * (token, then doc_id), both with map-side partial aggregation. The
+    * score is quantized floor-half-up to 4 decimals (summation order
+    * differs across engines) and the flag compares the QUANTIZED value so
+    * both engines sit on the same side of the threshold. */
+  def unigramLogProb(docs: DataFrame, flagThreshold: Double = 3.5): DataFrame = {
+    val tok = docs.select(col("doc_id").cast("long").as("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("token"))
+      .where(col("token") =!= "")
+    val docTok = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val total = vocab.agg(sum(col("n")).cast("double").as("t"))
+    val q = floor(
+      (sum(col("c").cast("double") * -log(col("n").cast("double") / col("t")))
+        / sum(col("c"))) * 1e4 + 0.5) / 1e4
+    docTok.join(vocab, Seq("token"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"), q.as("avg_neg_logprob"))
+      .select(col("doc_id"), col("n_tokens"), col("avg_neg_logprob"),
+        (col("avg_neg_logprob") >= flagThreshold).as("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Greedy sequence packing — assign documents to fixed-capacity training
+    * context windows (the sample-packing step between curation and
+    * tokenized shards). Packing is inherently sequential, so the corpus is
+    * split into `nShards` deterministic shards (`doc_id % nShards`) and the
+    * greedy first-fit scan runs independently per shard in doc_id order: a
+    * document joins the current bin iff it fits, else opens a new bin (a
+    * document longer than `capacity` overflows a bin of its own — the next
+    * document always starts fresh, by the same rule). Scale shape: one
+    * hash repartition on shard + a spillable sort, then a single
+    * mapPartitions pass with O(1) state — no per-group materialization, so
+    * a shard never has to fit in memory; choose nShards ∝ corpus size to
+    * bound shard length (the packing result is a function of shard count,
+    * so nShards is a pinned pipeline constant, not a tuning knob). Token
+    * counts are whitespace tokens, matching [[tokenCounts]]'s ws face. */
+  def sequencePack(spark: SparkSession, docs: DataFrame,
+      capacity: Int = 512, nShards: Int = 64): DataFrame = {
+    import spark.implicits._
+    require(capacity > 0 && nShards > 0)
+    val base = docs.select(
+        pmod(col("doc_id").cast("long"), lit(nShards.toLong)).as("shard"),
+        col("doc_id").cast("long").as("doc_id"),
+        size(regexp_extract_all(col("text"), lit("""\S+"""), lit(0)))
+          .cast("long").as("n_tok"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .as[(Long, Long, Long)]
+    base.mapPartitions { it =>
+      var shard = Long.MinValue; var bin = 0L; var fill = 0L
+      it.map { case (s0, id, n) =>
+        if (s0 != shard) { shard = s0; bin = 0L; fill = n }
+        else if (fill + n <= capacity) fill += n
+        else { bin += 1L; fill = n }
+        (id, s0, bin, n)
+      }
+    }.toDF("doc_id", "shard", "bin", "n_tok")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Contamination check with a Bloom-filter pre-filter on the eval side —
+    * result-identical to [[contaminationCheck]] (hashed-gram form; parity
+    * pinned in OpsSpec) but the exact gram join only receives eval grams
+    * that MIGHT be in the train set: a Bloom filter over the distinct train
+    * grams is built once (`treeAggregate` of bit arrays — driver memory
+    * ~9.6 bits/gram at fpp=0.01, ~1.2 GB per 10⁹ grams; beyond that, raise
+    * fpp or fall back to the plain distinct join) and broadcast, so the
+    * shuffle on the eval side shrinks from ALL eval grams to true overlaps
+    * + fpp false positives — at 100 TB with a benchmark-sized overlap the
+    * join input drops by ~99%. No false negatives (Bloom guarantee), and
+    * the exact join removes the false positives, so the output is exact.
+    * The train-gram table is eagerly localCheckpointed: it feeds three
+    * consumers (count for sizing, the Bloom build, the exact join) and a
+    * lazy plan would re-shingle the train corpus per consumer. */
+  def contaminationCheckBloom(spark: SparkSession, docs: DataFrame,
+      n: Int = 8, evalMod: Int = 20, fpp: Double = 0.01): DataFrame = {
+    import spark.implicits._
+    val trainG = contaminationTrainGrams(spark, docs, n, evalMod, hashGrams = true)
+      .localCheckpoint(true)
+    val bf = trainG.stat.bloomFilter("g", math.max(trainG.count(), 1L), fpp)
+    val bbf = spark.sparkContext.broadcast(bf)
+    val evalG = gramsOf(spark,
+      docs.where(pmod(col("doc_id").cast("long"), lit(evalMod)) === 0),
+      n, hashed = true)
+    val totals = evalG.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val candidates = evalG.as[(Long, Long)]
+      .filter(r => bbf.value.mightContainLong(r._2))
+      .toDF("doc_id", "g")
+    val overlap = candidates.join(trainG.select(col("g")), Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    totals.join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .select(col("doc_id"), col("n_grams"), col("n_overlap"),
+        (floor(col("n_overlap").cast("double") / col("n_grams") * 1e4 + 0.5) / 1e4)
+          .as("overlap_ratio"),
+        (col("n_overlap") > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Temperature-scaled source mixing weights — the data-mixing staple
+    * (multilingual/multi-source upsampling à la Conneau & Lample 2019
+    * §3.1): weight_i = T_i^τ / Σ_j T_j^τ over per-source token counts,
+    * τ < 1 flattening the distribution toward rare sources. Output is one
+    * row per source, so this is a groupBy with map-side partial
+    * aggregation plus a 1-row broadcast for the normalizer — nothing here
+    * grows with corpus size except the single scan. Weights are quantized
+    * floor-half-up to 4 decimals (pow/summation differ across engines at
+    * ulp scale). */
+  def sourceMixWeights(docs: DataFrame, temperature: Double = 0.5): DataFrame = {
+    require(temperature > 0.0 && temperature <= 1.0)
+    val per = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(regexp_extract_all(col("text"), lit("""\S+"""), lit(0)))
+          .cast("long")).as("n_tokens"))
+    val z = per.agg(sum(pow(col("n_tokens").cast("double"), lit(temperature)))
+      .as("z"))
+    per.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (floor(pow(col("n_tokens").cast("double"), lit(temperature)) / col("z")
+          * 1e4 + 0.5) / 1e4).as("weight"))
+      .orderBy(col("source"))
+  }
 }

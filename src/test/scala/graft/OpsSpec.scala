@@ -389,6 +389,65 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stored == lazyPath && stored.nonEmpty)
   }
 
+  test("contamination with the Bloom pre-filter equals the exact hashed-gram path") {
+    // no false negatives (Bloom guarantee) + the exact join removes false
+    // positives ⇒ bit-identical output to the plain distinct-gram join
+    val bloom = TrainingOps.contaminationCheckBloom(spark, docsDf, n = 3, evalMod = 2)
+      .collect().map(_.toSeq).toSeq
+    val exact = TrainingOps.contaminationCheck(spark, docsDf, n = 3, evalMod = 2,
+      hashGrams = true).collect().map(_.toSeq).toSeq
+    assert(bloom == exact && bloom.nonEmpty)
+    // and at a deliberately terrible fpp the exact join still wins
+    val sloppy = TrainingOps.contaminationCheckBloom(spark, docsDf, n = 3,
+      evalMod = 2, fpp = 0.5).collect().map(_.toSeq).toSeq
+    assert(sloppy == exact)
+  }
+
+  test("unigram log-prob: hand-computed nats/token, flag on the quantized value") {
+    import spark.implicits._
+    // corpus counts: a=2 b=2 c=1, total=5
+    // doc 0 (a a b): -(2·ln(2/5) + ln(2/5))/3 = ln(5/2)          = 0.9163
+    // doc 1 (b c):   -(ln(2/5) + ln(1/5))/2   = (ln2.5 + ln5)/2 = 1.2629
+    val docs = Seq((0L, "a a b"), (1L, "b c")).toDF("doc_id", "text")
+    val r = TrainingOps.unigramLogProb(docs, flagThreshold = 1.0).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getBoolean(3))).toList
+    assert(r == List((0L, 3L, 0.9163, false), (1L, 2L, 1.2629, true)))
+  }
+
+  test("sequence packing: greedy first-fit per shard, oversize doc overflows its own bin") {
+    import spark.implicits._
+    def doc(id: Long, n: Int) = (id, Seq.fill(n)("w").mkString(" "))
+    // shard 0 = ids {0,2,4} with 4/5/3 tokens: 4+5=9 ≤ 10 pack, +3 overflows
+    // shard 1 = ids {1,3,5} with 12/2/9: 12 overflows bin 0 alone, then 2,
+    // then 2+9 = 11 > 10 opens a third bin
+    val docs = Seq(doc(0, 4), doc(1, 12), doc(2, 5), doc(3, 2), doc(4, 3), doc(5, 9))
+      .toDF("doc_id", "text")
+    val expect = List((0L, 0L, 0L, 4L), (1L, 1L, 0L, 12L), (2L, 0L, 0L, 5L),
+      (3L, 1L, 1L, 2L), (4L, 0L, 1L, 3L), (5L, 1L, 2L, 9L))
+    val r = TrainingOps.sequencePack(spark, docs, capacity = 10, nShards = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))).toList
+    assert(r == expect)
+    // input partitioning must not leak into the assignment (the shard
+    // repartition + in-shard sort fully determine the scan order)
+    val r7 = TrainingOps.sequencePack(spark, docs.repartition(7), capacity = 10,
+      nShards = 2).collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+      x.getLong(3))).toList
+    assert(r7 == expect)
+  }
+
+  test("source mixing weights: τ-powered token shares, quantized, ordered by source") {
+    val r = TrainingOps.sourceMixWeights(docsDf, temperature = 0.5).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getDouble(3))).toList
+    // src0 = docs {0,2} (9+10 tokens), src1 = {1} (9), src2 = {3} (6), src3 = {4} (9)
+    val toks = Map("src0" -> 19L, "src1" -> 9L, "src2" -> 6L, "src3" -> 9L)
+    val z = toks.values.map(n => math.pow(n.toDouble, 0.5)).sum
+    def w(n: Long) = math.floor(math.pow(n.toDouble, 0.5) / z * 1e4 + 0.5) / 1e4
+    assert(r == List(("src0", 2L, 19L, w(19)), ("src1", 1L, 9L, w(9)),
+      ("src2", 1L, 6L, w(6)), ("src3", 1L, 9L, w(9))))
+    // weights form a distribution (within the 4dp quantization)
+    assert(math.abs(r.map(_._4).sum - 1.0) <= 4 * 1e-4)
+  }
+
   test("vocab top-k: exact counts, count-desc token-asc order, tie at the k boundary deterministic") {
     import spark.implicits._
     val docs = Seq((0L, "b b b a a c"), (1L, "A a d c")).toDF("doc_id", "text")
