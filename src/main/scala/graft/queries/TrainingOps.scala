@@ -1079,7 +1079,7 @@ object TrainingOps {
   // become likely, and a collision's only effect is one spurious
   // overlapping gram. The string form is the oracle face (DuckDB replays
   // gram text); results are identical at every tested scale.
-  private def gramsOf(spark: SparkSession, d: DataFrame, n: Int,
+  private[graft] def gramsOf(spark: SparkSession, d: DataFrame, n: Int,
       hashed: Boolean): DataFrame = {
     import spark.implicits._
     val docGrams = d.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]

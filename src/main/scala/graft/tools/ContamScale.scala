@@ -21,6 +21,11 @@ import graft.queries.TrainingOps
   * contamination the check must KEEP reporting while the boilerplate mass
   * is collapsed.
   *
+  * Also audits the T30 Bloom pre-filter face per size: aggregate parity
+  * with the exact path (must be identical) and the candidate-volume
+  * reduction (eval grams admitted to the exact join = true overlaps + fpp
+  * false positives — the measured check of both Bloom guarantees).
+  *
   * Env: CONTAMSCALE_SIZES (csv, default "5000,20000,50000"),
   * CONTAMSCALE_CPUS (default 32).
   */
@@ -58,10 +63,39 @@ object ContamScale {
       }
       val (flagged, rSec) = time(
         TrainingOps.repetitionStats(spark, docs).where(col("flagged")).count())
+      // Bloom pre-filter face (T30): same aggregate must come back
+      // identical (no false negatives + exact join kills false positives),
+      // and the candidate audit quantifies the join-input reduction — the
+      // fraction of eval grams the broadcast Bloom admits to the exact join
+      val (bloom, bSec) = time {
+        val r = TrainingOps.contaminationCheckBloom(spark, docs)
+          .agg(count(lit(1)).as("eval_docs"),
+            sum(col("n_overlap")).as("overlap_sum"),
+            sum(when(col("contaminated"), 1L).otherwise(0L)).as("contaminated_docs"))
+          .collect()(0)
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      val parity = bloom == contam
+      val evalG = TrainingOps.gramsOf(spark,
+        docs.where(pmod(col("doc_id").cast("long"), lit(20)) === 0),
+        n = 8, hashed = true).cache()
+      val evalGrams = evalG.count()
+      val trainG = TrainingOps.contaminationTrainGrams(spark, docs,
+        hashGrams = true).localCheckpoint(true)
+      val bf = trainG.stat.bloomFilter("g", math.max(trainG.count(), 1L), 0.01)
+      val bbf = spark.sparkContext.broadcast(bf)
+      val candidates = {
+        import spark.implicits._
+        evalG.as[(Long, Long)].filter(r => bbf.value.mightContainLong(r._2)).count()
+      }
+      evalG.unpersist()
       docs.unpersist()
       println(f"CONTAMSCALE n=$n%d eval_docs=${contam._1}%d " +
         f"overlap_sum=${contam._2}%d contaminated=${contam._3}%d contam_sec=$cSec%.1f " +
-        f"repetition_flagged=$flagged%d repetition_sec=$rSec%.1f")
+        f"repetition_flagged=$flagged%d repetition_sec=$rSec%.1f " +
+        f"bloom_sec=$bSec%.1f bloom_parity=$parity%b " +
+        f"eval_grams=$evalGrams%d bloom_candidates=$candidates%d " +
+        f"join_input_kept=${candidates.toDouble / math.max(evalGrams, 1)}%.3f")
       (n, contam._1, cSec, rSec)
     }
 
