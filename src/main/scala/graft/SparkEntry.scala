@@ -772,6 +772,10 @@ object SparkEntry {
       ((s, d) => TrainingOps.contaminationCheckBloom(s, t(s, d, "documents"))),
     // temperature-scaled source mixing weights (τ=0.5 upweights rare sources)
     "ta_mix_weights" -> ((s, d) => TrainingOps.sourceMixWeights(t(s, d, "documents"))),
+    // per-source quality calibration: type-1 discrete percentiles of the
+    // stopword ratio (integer ranks — exact cross-engine, no interpolation)
+    "ta_quality_calibration" ->
+      ((s, d) => TrainingOps.qualityCalibration(t(s, d, "documents"))),
 
     // ------------------------- curation funnel (extract → filter → dedup)
     // all stage counts in ONE conditional-aggregation scan of the extraction
@@ -1542,6 +1546,24 @@ object SparkEntry {
         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, CAST(bin AS BIGINT) AS bin,
         |  CAST(n_tok AS BIGINT) AS n_tok
         |FROM r ORDER BY doc_id""".stripMargin,
+    // calibration replay: same quantized stopword ratio as
+    // ta_quality_score, ranked per source; the percentile is the value at
+    // integer rank ⌈p·n⌉, so every output is an actual data value (exact
+    // across engines — no interpolation arithmetic)
+    "ta_quality_calibration" ->
+      """WITH q AS (SELECT doc_id, source,
+        |  floor(CASE WHEN len(regexp_extract_all(text,'\S+')) > 0
+        |   THEN CAST(len(regexp_extract_all(lower(text),'\b(the|and|of|to|a|in|is)\b')) AS DOUBLE)
+        |        / len(regexp_extract_all(text,'\S+')) ELSE 0 END * 10000 + 0.5) / 10000 AS sr
+        |  FROM documents),
+        |r AS (SELECT source, sr,
+        |  row_number() OVER (PARTITION BY source ORDER BY sr, doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY source) AS n FROM q)
+        |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+        |  max(CASE WHEN rn = (10*n + 99) // 100 THEN sr END) AS stop_p10,
+        |  max(CASE WHEN rn = (50*n + 99) // 100 THEN sr END) AS stop_p50,
+        |  max(CASE WHEN rn = (90*n + 99) // 100 THEN sr END) AS stop_p90
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
     // mixing-weights replay: per-source token totals, τ=0.5 power
     // normalized by the scalar sum, quantized 4dp both sides
     "ta_mix_weights" ->

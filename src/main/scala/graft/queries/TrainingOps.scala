@@ -1272,6 +1272,36 @@ object TrainingOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source quality calibration — discrete percentiles of the T10
+    * stopword ratio per stratum, the threshold-picking step between
+    * scoring and filtering (a fixed quality cut is a property of one
+    * corpus; per-domain pipelines calibrate the cut from each source's own
+    * distribution — the posture CCNet takes with its perplexity buckets).
+    * Quantiles are TYPE-1 DISCRETE (the value at rank ⌈p·n⌉, rank computed
+    * in integer arithmetic): the result is always an actual data value, so
+    * the cross-engine comparison is exact by construction — interpolating
+    * quantiles (`percentile`/`quantile_cont`) mix floating-point at
+    * .xxxx5 quantization boundaries. Composes the graded [[qualityScore]]
+    * (fan-out-1 join back to the source column); the rank window is
+    * sort-based and spillable, so a giant source never has to fit in
+    * memory — one shuffle on source. */
+  def qualityCalibration(docs: DataFrame): DataFrame = {
+    val scored = qualityScore(docs).join(
+      docs.select(col("doc_id").cast("long").as("doc_id"), col("source")),
+      Seq("doc_id"))
+    val bySource = Window.partitionBy(col("source"))
+    val ranked = scored.select(col("source"), col("stopword_ratio"),
+      row_number().over(bySource.orderBy(col("stopword_ratio"), col("doc_id")))
+        .as("rn"),
+      count(lit(1)).over(bySource).as("n"))
+    def atP(pct: Int) = max(when(
+      col("rn") === expr(s"($pct * n + 99) div 100"), col("stopword_ratio")))
+    ranked.groupBy(col("source"))
+      .agg(max(col("n")).cast("long").as("n_docs"),
+        atP(10).as("stop_p10"), atP(50).as("stop_p50"), atP(90).as("stop_p90"))
+      .orderBy(col("source"))
+  }
+
   /** Temperature-scaled source mixing weights — the data-mixing staple
     * (multilingual/multi-source upsampling à la Conneau & Lample 2019
     * §3.1): weight_i = T_i^τ / Σ_j T_j^τ over per-source token counts,

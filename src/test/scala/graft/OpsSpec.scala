@@ -435,6 +435,18 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r7 == expect)
   }
 
+  test("quality calibration: type-1 discrete percentiles per source via integer ranks") {
+    // src0 = docs {0,2}: stopword ratios {0.2222 ("the"×2 / 9), 0.0} →
+    // ranks for n=2: p10/p50 at ⌈.2⌉/⌈1⌉ = 1 (0.0), p90 at ⌈1.8⌉ = 2
+    // (0.2222); single-doc sources return their own value at every p
+    val r = TrainingOps.qualityCalibration(docsDf).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getDouble(2), x.getDouble(3),
+        x.getDouble(4))).toList
+    assert(r == List(
+      ("src0", 2L, 0.0, 0.0, 0.2222), ("src1", 1L, 0.2222, 0.2222, 0.2222),
+      ("src2", 1L, 0.0, 0.0, 0.0), ("src3", 1L, 0.2222, 0.2222, 0.2222)))
+  }
+
   test("source mixing weights: τ-powered token shares, quantized, ordered by source") {
     val r = TrainingOps.sourceMixWeights(docsDf, temperature = 0.5).collect()
       .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getDouble(3))).toList
