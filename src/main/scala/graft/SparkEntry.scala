@@ -776,6 +776,9 @@ object SparkEntry {
     // stopword ratio (integer ranks — exact cross-engine, no interpolation)
     "ta_quality_calibration" ->
       ((s, d) => TrainingOps.qualityCalibration(t(s, d, "documents"))),
+    // deterministic per-epoch training order (hash-bucketed reshuffle,
+    // shard-local rank — no global sort)
+    "ta_epoch_shuffle" -> ((s, d) => TrainingOps.epochShuffle(s, t(s, d, "documents"))),
 
     // ------------------------- curation funnel (extract → filter → dedup)
     // all stage counts in ONE conditional-aggregation scan of the extraction
@@ -1546,6 +1549,27 @@ object SparkEntry {
         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, CAST(bin AS BIGINT) AS bin,
         |  CAST(n_tok AS BIGINT) AS n_tok
         |FROM r ORDER BY doc_id""".stripMargin,
+    // epoch-shuffle replay: the same HUGEINT FNV fold as ta_split_counts
+    // over the "epoch:doc_id" string, signed view for both the shard pmod
+    // and the in-shard ORDER BY (Spark's key column is a signed long)
+    "ta_epoch_shuffle" ->
+      """WITH d AS (SELECT doc_id, unnest(generate_series(0, 1)) AS epoch FROM documents),
+        |h AS (SELECT doc_id, epoch, list_reduce(
+        |    list_prepend(14695981039346656037::HUGEINT,
+        |      [unicode(s[i])::HUGEINT for i in generate_series(1, length(s))]),
+        |    (a, b) -> (xor(a, b) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+        |  ) AS hu FROM (SELECT doc_id, epoch,
+        |    epoch::VARCHAR || ':' || doc_id::VARCHAR AS s FROM d)),
+        |k AS (SELECT doc_id, epoch,
+        |  CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+        |    THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) AS k
+        |  FROM h)
+        |SELECT CAST(epoch AS BIGINT) AS epoch,
+        |  ((k % 8) + 8) % 8 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY epoch, ((k % 8) + 8) % 8
+        |    ORDER BY k, doc_id) AS BIGINT) AS ord,
+        |  doc_id
+        |FROM k ORDER BY epoch, shard, ord""".stripMargin,
     // calibration replay: same quantized stopword ratio as
     // ta_quality_score, ranked per source; the percentile is the value at
     // integer rank ⌈p·n⌉, so every output is an actual data value (exact

@@ -1272,6 +1272,35 @@ object TrainingOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic per-epoch shuffle — the training-order staple: each
+    * epoch reorders the corpus by a content-independent hash of
+    * (epoch, doc_id), hash-bucketed into `nShards` output shards with the
+    * order defined WITHIN a shard (readers consume shards in any order) —
+    * a global rank would serialize a 100 TB sort through one ordering,
+    * while the shard-local rank is a window over epoch×shard partitions:
+    * sort-based, spillable, one shuffle. The hash is the registered native
+    * fnv1a64 over "epoch:doc_id", so the schedule is reproducible across
+    * runs, engines, and input orderings, and changes completely between
+    * epochs. nShards ∝ corpus size is a pinned pipeline constant (it
+    * defines the result), like [[sequencePack]]'s. */
+  def epochShuffle(spark: SparkSession, docs: DataFrame,
+      epochs: Int = 2, nShards: Int = 8): DataFrame = {
+    require(epochs > 0 && nShards > 0)
+    graft.functions.Fnv1a64Expr.register(spark)
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(epochs - 1))).as("e"))
+      .select(col("doc_id"), col("e").cast("long").as("epoch"))
+      .withColumn("k",
+        expr("fnv1a64(concat(cast(epoch as string), ':', cast(doc_id as string)))"))
+      .withColumn("shard", pmod(col("k"), lit(nShards.toLong)))
+    base.select(col("epoch"), col("shard"),
+        row_number().over(Window.partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("k"), col("doc_id"))).cast("long").as("ord"),
+        col("doc_id"))
+      .orderBy(col("epoch"), col("shard"), col("ord"))
+  }
+
   /** Per-source quality calibration — discrete percentiles of the T10
     * stopword ratio per stratum, the threshold-picking step between
     * scoring and filtering (a fixed quality cut is a property of one

@@ -435,6 +435,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r7 == expect)
   }
 
+  test("epoch shuffle: dense shard-local ranks, full coverage per epoch, order varies by epoch") {
+    val r = TrainingOps.epochShuffle(spark, docsDf, epochs = 2, nShards = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    // every doc exactly once per epoch
+    assert(r.groupBy(_._1).view.mapValues(_.map(_._4).sorted.toList).toMap ==
+      Map(0L -> List(0L, 1L, 2L, 3L, 4L), 1L -> List(0L, 1L, 2L, 3L, 4L)))
+    // ranks dense 1..count within each (epoch, shard)
+    r.groupBy(x => (x._1, x._2)).foreach { case (_, g) =>
+      assert(g.map(_._3).sorted.toList == (1L to g.size).toList)
+    }
+    // the schedule is a function of (epoch, doc_id) only: input partitioning
+    // must not change it, and epochs must not repeat the same order
+    val r7 = TrainingOps.epochShuffle(spark, docsDf.repartition(7),
+      epochs = 2, nShards = 2).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r7.toList == r.toList)
+    def order(e: Long) = r.filter(_._1 == e).sortBy(x => (x._2, x._3)).map(_._4).toList
+    assert(order(0L) != order(1L))
+  }
+
   test("quality calibration: type-1 discrete percentiles per source via integer ranks") {
     // src0 = docs {0,2}: stopword ratios {0.2222 ("the"×2 / 9), 0.0} →
     // ranks for n=2: p10/p50 at ⌈.2⌉/⌈1⌉ = 1 (0.0), p90 at ⌈1.8⌉ = 2
