@@ -1534,9 +1534,10 @@ object SparkEntry {
     // sum that RESETS on overflow is not a window function)
     "ta_seq_pack" ->
       """WITH RECURSIVE d AS (
-        |  SELECT doc_id % 64 AS shard, doc_id,
+        |  SELECT ((doc_id % 64) + 64) % 64 AS shard, doc_id,
         |    len(regexp_extract_all(text, '\S+')) AS n_tok,
-        |    row_number() OVER (PARTITION BY doc_id % 64 ORDER BY doc_id) AS i
+        |    row_number() OVER (PARTITION BY ((doc_id % 64) + 64) % 64
+        |      ORDER BY doc_id) AS i
         |  FROM documents),
         |r AS (
         |  SELECT shard, i, doc_id, n_tok, 0 AS bin, n_tok AS fill

@@ -22,7 +22,9 @@ object Verify {
     // GRAFT_VERIFY_ONLY=a,b,c restricts the dump to named queries — a
     // builder iteration aid (the checker only examines dirs present in
     // outDir); the driver never sets it, so the graded run is unchanged.
-    val only = sys.env.get("GRAFT_VERIFY_ONLY").map(_.split(",").toSet)
+    val only = sys.env.get("GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

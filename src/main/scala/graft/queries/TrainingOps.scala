@@ -1180,7 +1180,10 @@ object TrainingOps {
         explode(split(lower(col("text")), "\\s+")).as("token"))
       .where(col("token") =!= "")
     val docTok = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
-    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("n"))
+    // vocab re-aggregates the per-(doc, token) table rather than the raw
+    // token stream: total occurrences = Σ per-doc counts, so the value is
+    // identical and the scan+explode runs once, not once per consumer
+    val vocab = docTok.groupBy(col("token")).agg(sum(col("c")).as("n"))
     val total = vocab.agg(sum(col("n")).cast("double").as("t"))
     val q = floor(
       (sum(col("c").cast("double") * -log(col("n").cast("double") / col("t")))
@@ -1253,9 +1256,12 @@ object TrainingOps {
       .localCheckpoint(true)
     val bf = trainG.stat.bloomFilter("g", math.max(trainG.count(), 1L), fpp)
     val bbf = spark.sparkContext.broadcast(bf)
+    // evalG also feeds two consumers (per-doc totals BEFORE the filter,
+    // and the Bloom-admitted candidate stream) — checkpoint it like trainG
+    // so the eval slice shingles once, not once per consumer
     val evalG = gramsOf(spark,
       docs.where(pmod(col("doc_id").cast("long"), lit(evalMod)) === 0),
-      n, hashed = true)
+      n, hashed = true).localCheckpoint(true)
     val totals = evalG.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     val candidates = evalG.as[(Long, Long)]
       .filter(r => bbf.value.mightContainLong(r._2))

@@ -66,9 +66,14 @@ object ContamScale {
       // Bloom pre-filter face (T30): same aggregate must come back
       // identical (no false negatives + exact join kills false positives),
       // and the candidate audit quantifies the join-input reduction — the
-      // fraction of eval grams the broadcast Bloom admits to the exact join
+      // fraction of eval grams the broadcast Bloom admits to the exact
+      // join. The timed call and the audit share ONE set of parameters
+      // (drift here would make the printed reduction describe a different
+      // configuration than the path being timed); the audit's own train
+      // build is materialized once and reused for sizing, Bloom, and count
+      val (gramN, evalMod, fpp) = (8, 20, 0.01)
       val (bloom, bSec) = time {
-        val r = TrainingOps.contaminationCheckBloom(spark, docs)
+        val r = TrainingOps.contaminationCheckBloom(spark, docs, gramN, evalMod, fpp)
           .agg(count(lit(1)).as("eval_docs"),
             sum(col("n_overlap")).as("overlap_sum"),
             sum(when(col("contaminated"), 1L).otherwise(0L)).as("contaminated_docs"))
@@ -77,18 +82,17 @@ object ContamScale {
       }
       val parity = bloom == contam
       val evalG = TrainingOps.gramsOf(spark,
-        docs.where(pmod(col("doc_id").cast("long"), lit(20)) === 0),
-        n = 8, hashed = true).cache()
+        docs.where(pmod(col("doc_id").cast("long"), lit(evalMod)) === 0),
+        gramN, hashed = true).localCheckpoint(true)
       val evalGrams = evalG.count()
       val trainG = TrainingOps.contaminationTrainGrams(spark, docs,
-        hashGrams = true).localCheckpoint(true)
-      val bf = trainG.stat.bloomFilter("g", math.max(trainG.count(), 1L), 0.01)
+        gramN, evalMod, hashGrams = true).localCheckpoint(true)
+      val bf = trainG.stat.bloomFilter("g", math.max(trainG.count(), 1L), fpp)
       val bbf = spark.sparkContext.broadcast(bf)
       val candidates = {
         import spark.implicits._
         evalG.as[(Long, Long)].filter(r => bbf.value.mightContainLong(r._2)).count()
       }
-      evalG.unpersist()
       docs.unpersist()
       println(f"CONTAMSCALE n=$n%d eval_docs=${contam._1}%d " +
         f"overlap_sum=${contam._2}%d contaminated=${contam._3}%d contam_sec=$cSec%.1f " +
