@@ -455,6 +455,109 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(order(0L) != order(1L))
   }
 
+  test("sequence packing invariants on a varied corpus: contiguous bins, capacity respected, scan order") {
+    import spark.implicits._
+    // 150 docs with token counts cycling 1..30 plus oversize spikes (cap+5
+    // every 13th) — exercises fits, overflows, and oversize-own-bin cases
+    val docs = (0L until 150L).map { i =>
+      val n = if (i % 13 == 0) 25 else 1 + (i % 30).toInt
+      (i, Seq.fill(n)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val cap = 20
+    val r = TrainingOps.sequencePack(spark, docs, capacity = cap, nShards = 5)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.length == 150)
+    r.groupBy(_._2).foreach { case (_, shard) =>
+      val inOrder = shard.sortBy(_._1) // doc_id order = scan order
+      // bins contiguous from 0, non-decreasing along the scan
+      assert(inOrder.head._3 == 0L)
+      inOrder.sliding(2).foreach { case Array(a, b) =>
+        assert(b._3 == a._3 || b._3 == a._3 + 1)
+      case _ => }
+      // a bin's token total respects capacity unless it is a single
+      // oversize document
+      inOrder.groupBy(_._3).foreach { case (_, bin) =>
+        val tot = bin.map(_._4).sum
+        assert(tot <= cap || bin.length == 1)
+      }
+      // greedy: a new bin only opens because the next doc did not fit
+      inOrder.sliding(2).foreach { case Array(a, b) =>
+        if (b._3 == a._3 + 1) {
+          val fillBefore = inOrder.filter(x => x._3 == a._3).map(_._4).sum
+          assert(fillBefore + b._4 > cap)
+        }
+      case _ => }
+    }
+  }
+
+  test("epoch shuffle matches an independent reimplementation of the schedule") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val got = TrainingOps.epochShuffle(spark, docs, epochs = 3, nShards = 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))).toList
+    // reference schedule computed directly from the definition
+    val want = (for {
+      e <- 0L until 3L
+      id <- 0L until 100L
+      k = TrainingOps.fnv1a64(s"$e:$id")
+    } yield (e, ((k % 4) + 4) % 4, k, id))
+      .groupBy(x => (x._1, x._2)).toList
+      .flatMap { case ((e, sh), g) =>
+        g.sortBy(x => (x._3, x._4)).zipWithIndex
+          .map { case (x, i) => (e, sh, (i + 1).toLong, x._4) }
+      }.sortBy(x => (x._1, x._2, x._3))
+    assert(got == want)
+  }
+
+  test("unigram log-prob orders stereotypical below rare-token documents") {
+    import spark.implicits._
+    // doc 0 repeats the corpus-common token; doc 1 is all-unique tokens
+    val docs = (Seq((0L, Seq.fill(10)("common").mkString(" ")),
+      (1L, (1 to 10).map(i => s"rare$i").mkString(" "))) ++
+      (2L until 20L).map(i => (i, "common filler words")))
+      .toDF("doc_id", "text")
+    val r = TrainingOps.unigramLogProb(docs).collect()
+      .map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r(0L) < r(1L))
+    // and the per-doc token totals agree with the ws tokenizer
+    val n = TrainingOps.unigramLogProb(docs).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(n(0L) == 10L && n(1L) == 10L && n(5L) == 3L)
+  }
+
+  test("mixing weights are invariant to uniform corpus duplication") {
+    import spark.implicits._
+    val doubled = docsDf.select(col("doc_id"), col("text"), col("source"))
+      .union(docsDf.select(col("doc_id") + 100L, col("text"), col("source")))
+    val w1 = TrainingOps.sourceMixWeights(docsDf).collect()
+      .map(x => x.getString(0) -> x.getDouble(3)).toMap
+    val w2 = TrainingOps.sourceMixWeights(doubled).collect()
+      .map(x => x.getString(0) -> x.getDouble(3)).toMap
+    // every source's token mass scales by the same factor, so τ-powered
+    // shares cancel it; quantization allows ±1 ulp of the 4dp grid
+    assert(w1.keySet == w2.keySet)
+    w1.foreach { case (s, w) => assert(math.abs(w - w2(s)) <= 1e-4 + 1e-9) }
+  }
+
+  test("quality calibration percentiles are ordered and are actual data values") {
+    import spark.implicits._
+    val docs = (0L until 97L).map { i =>
+      val stops = Seq.fill((i % 7).toInt)("the")
+      val rest = Seq.fill(10)(s"w$i")
+      (i, (stops ++ rest).mkString(" "), "en", s"src${i % 3}")
+    }.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val ratios = TrainingOps.qualityScore(docs).collect()
+      .map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    val bySource = (0L until 97L).groupBy(i => s"src${i % 3}")
+      .view.mapValues(_.map(ratios).toSet).toMap
+    TrainingOps.qualityCalibration(docs).collect().foreach { x =>
+      val (s, p10, p50, p90) = (x.getString(0), x.getDouble(2), x.getDouble(3), x.getDouble(4))
+      assert(p10 <= p50 && p50 <= p90)
+      assert(Set(p10, p50, p90).subsetOf(bySource(s)))
+    }
+  }
+
   test("quality calibration: type-1 discrete percentiles per source via integer ranks") {
     // src0 = docs {0,2}: stopword ratios {0.2222 ("the"×2 / 9), 0.0} →
     // ranks for n=2: p10/p50 at ⌈.2⌉/⌈1⌉ = 1 (0.0), p90 at ⌈1.8⌉ = 2
