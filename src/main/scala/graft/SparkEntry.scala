@@ -160,11 +160,13 @@ object SparkEntry {
     // S3: email-attachment ingest (ingest.py:151-186) — render each doc as
     // a multipart message, walk MIME parts, skip containers/no-disposition,
     // decode payloads; oracle checks the per-message arithmetic face
-    "s3_mail_attachments" -> ((s, d) => MailIngest.perMessage(s, t(s, d, "documents"))),
+    "s3_mail_attachments" -> ((s, d) =>
+      MailIngest.perMessage(s, t(s, d, "documents")).orderBy(col("msg_id"))),
 
     // per-page OCR confidence structure + ConfidenceLevel bucketing
     // (ocr.py:84-109, models.py:95-99)
-    "ocr_page_confidence" -> ((s, d) => OcrOps.docConfidence(t(s, d, "documents"))),
+    "ocr_page_confidence" -> ((s, d) =>
+      OcrOps.docConfidence(t(s, d, "documents")).orderBy(col("doc_id"))),
 
     // --------------------------------------- filters / projections (§2.2)
     // P1/O1: ilike OR search, ordered + limited (cli.py:788-797)
@@ -555,7 +557,8 @@ object SparkEntry {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
       .orderBy(col("source"))),
-    "dd_minhash_pairs" -> ((s, d) => TrainingOps.minhashPairs(s, t(s, d, "documents"), minSim = 0.05)),
+    "dd_minhash_pairs" -> ((s, d) => TrainingOps.minhashPairs(s, t(s, d, "documents"), minSim = 0.05)
+      .orderBy(col("doc_a"), col("doc_b"))),
 
     // the production (100 TB) minhash path END TO END: signatures written
     // ONCE through TableIO, pair generation over the STORED table — no
@@ -574,8 +577,10 @@ object SparkEntry {
       }
       TrainingOps.minhashPairsFromSignatures(
         s, graft.core.TableIO.read(s, loc.toString), minSim = 0.05)
+        .orderBy(col("doc_a"), col("doc_b"))
     }),
-    "dd_simhash_pairs" -> ((s, d) => TrainingOps.simhashPairs(s, t(s, d, "documents"), maxHamming = 8)),
+    "dd_simhash_pairs" -> ((s, d) => TrainingOps.simhashPairs(s, t(s, d, "documents"), maxHamming = 8)
+      .orderBy(col("doc_a"), col("doc_b"))),
 
     // the simhash family's stored path (completes the trio with
     // dd_minhash_stored / dd_ngram_stored): fingerprint table written once
@@ -589,8 +594,10 @@ object SparkEntry {
       }
       TrainingOps.simhashPairsFromFingerprints(
         s, graft.core.TableIO.read(s, loc.toString), maxHamming = 8)
+        .orderBy(col("doc_a"), col("doc_b"))
     }),
-    "dd_ngram_jaccard" -> ((s, d) => TrainingOps.ngramJaccardPairs(s, t(s, d, "documents"), minJaccard = 0.02)),
+    "dd_ngram_jaccard" -> ((s, d) => TrainingOps.ngramJaccardPairs(s, t(s, d, "documents"), minJaccard = 0.02)
+      .orderBy(col("doc_a"), col("doc_b"))),
 
     // the n-gram family's stored path (mirrors dd_minhash_stored): shingle
     // table written once through TableIO (marker-gated), pair generation
@@ -605,6 +612,7 @@ object SparkEntry {
       }
       TrainingOps.ngramJaccardFromShingles(
         s, graft.core.TableIO.read(s, loc.toString), minJaccard = 0.02)
+        .orderBy(col("doc_a"), col("doc_b"))
     }),
     // pairs → DECISIONS: connected components over the n-gram-Jaccard pair
     // graph (hooked min-label + pointer jump, fixpoint-checked) — the
@@ -631,17 +639,23 @@ object SparkEntry {
         .select(col("node").as("doc_id"), col("comp").as("component"))
         .orderBy(col("doc_id"))
     }),
-    "dd_embed_cosine" -> ((s, d) => TrainingOps.embedCosinePairs(s, t(s, d, "embeddings"), minSim = 0.4)),
-    "dd_embed_lsh" -> ((s, d) => TrainingOps.embedCosinePairsLsh(s, t(s, d, "embeddings"), minSim = 0.4)),
+    "dd_embed_cosine" -> ((s, d) => TrainingOps.embedCosinePairs(s, t(s, d, "embeddings"), minSim = 0.4)
+      .orderBy(col("vec_a"), col("vec_b"))),
+    "dd_embed_lsh" -> ((s, d) => TrainingOps.embedCosinePairsLsh(s, t(s, d, "embeddings"), minSim = 0.4)
+      .orderBy(col("vec_a"), col("vec_b"))),
 
     // ------------------------------------------- similarity search (ANN)
-    "sim_cosine_topk" -> ((s, d) => TrainingOps.cosineTopK(s, t(s, d, "embeddings"))),
-    "sim_ann_lsh" -> ((s, d) => TrainingOps.annLshTopK(s, t(s, d, "embeddings"))),
-    "sim_ann_ivf" -> ((s, d) => TrainingOps.annIvfTopK(s, t(s, d, "embeddings"))),
+    "sim_cosine_topk" -> ((s, d) => TrainingOps.cosineTopK(s, t(s, d, "embeddings"))
+      .orderBy(col("query_id"), col("rank"))),
+    "sim_ann_lsh" -> ((s, d) => TrainingOps.annLshTopK(s, t(s, d, "embeddings"))
+      .orderBy(col("query_id"), col("rank"))),
+    "sim_ann_ivf" -> ((s, d) => TrainingOps.annIvfTopK(s, t(s, d, "embeddings"))
+      .orderBy(col("query_id"), col("rank"))),
 
     // ----------------------------------------- multimodal columns (binary)
     "mm_meta_summary" -> ((s, d) =>
-      MediaOps.metaSummary(s, MediaOps.mediaTable(t(s, d, "documents")))),
+      MediaOps.metaSummary(s, MediaOps.mediaTable(t(s, d, "documents")))
+        .orderBy(col("kind"))),
     "mm_frame_stats" -> ((s, d) =>
       MediaOps.frameSample(s, MediaOps.mediaTable(t(s, d, "documents")))
         .groupBy(col("media_id"))
@@ -652,7 +666,8 @@ object SparkEntry {
         .orderBy(col("media_id"))),
     "mm_feature_ann" -> ((s, d) => TrainingOps.cosineTopK(s,
       MediaOps.featureExtract(s, MediaOps.mediaTable(t(s, d, "documents")))
-        .withColumnRenamed("media_id", "vec_id"))),
+        .withColumnRenamed("media_id", "vec_id"))
+      .orderBy(col("query_id"), col("rank"))),
 
     // -------------------------- entity linking (J2/F7, extract.py:296-377)
     // oracled since round 5: DuckDB replays the linking algebra (exact tier,
@@ -661,18 +676,23 @@ object SparkEntry {
     // once, link many — a lazy plan re-ran the 300-doc kernel once per
     // mention-table reference, up to 4× inside linkStats).
     "j4_entity_link" -> ((s, _) => EntityLink.linkStatsFrom(s,
-      EntityLink.mentionsFromStore(graft.core.TableIO.read(s, extractSpansStore(s))))),
+      EntityLink.mentionsFromStore(graft.core.TableIO.read(s, extractSpansStore(s))))
+      .orderBy(col("entity_type"))),
 
     // alias sets + confidence bucketing per canonical (extract.py:363-377
     // export carries aliases; models.py:95-99 ConfidenceLevel) — scalar face
     "j7_entity_aliases" -> ((s, _) => EntityLink.aliasStatsFrom(s,
-      EntityLink.mentionsFromStore(graft.core.TableIO.read(s, extractSpansStore(s))))),
+      EntityLink.mentionsFromStore(graft.core.TableIO.read(s, extractSpansStore(s))))
+      .orderBy(col("entity_type"), col("confidence_level"))),
 
     // relationship analog: entity co-occurrence graph (extract.py:99-103,
     // entity_links models.py:114-122) — same-doc canonical pairs
     "j6_cooccurrence" -> ((s, _) => EntityLink.cooccurrenceFrom(
         EntityLink.mentionsFromStore(graft.core.TableIO.read(s, extractSpansStore(s))),
-        minDocs = 2).limit(100)),
+        minDocs = 2)
+      .orderBy(col("n_docs").desc, col("type_a"), col("norm_a"),
+        col("type_b"), col("norm_b"))
+      .limit(100)),
 
     // J3: verification join — kernel output vs independent golden oracle.
     // Since round 6 it compares the two materialized scalar span stores
@@ -731,14 +751,20 @@ object SparkEntry {
     }),
 
     // ------------------------------------------------- text analysis ops
-    "ta_token_counts" -> ((s, d) => TrainingOps.tokenCounts(t(s, d, "documents"))),
-    "ta_quality_score" -> ((s, d) => TrainingOps.qualityScore(t(s, d, "documents"))),
-    "ta_lang_id" -> ((s, d) => TrainingOps.langId(t(s, d, "documents"))),
-    "ta_fingerprints" -> ((s, d) => TrainingOps.fingerprints(s, t(s, d, "documents"))),
+    "ta_token_counts" -> ((s, d) =>
+      TrainingOps.tokenCounts(t(s, d, "documents")).orderBy(col("doc_id"))),
+    "ta_quality_score" -> ((s, d) =>
+      TrainingOps.qualityScore(t(s, d, "documents")).orderBy(col("doc_id"))),
+    "ta_lang_id" -> ((s, d) =>
+      TrainingOps.langId(t(s, d, "documents")).orderBy(col("doc_id"))),
+    "ta_fingerprints" -> ((s, d) =>
+      TrainingOps.fingerprints(s, t(s, d, "documents")).orderBy(col("doc_id"), col("idx"))),
     // Gopher-style intra-doc repetition filter (Rae et al. 2021 §A1.1)
-    "ta_repetition" -> ((s, d) => TrainingOps.repetitionStats(s, t(s, d, "documents"))),
+    "ta_repetition" -> ((s, d) =>
+      TrainingOps.repetitionStats(s, t(s, d, "documents")).orderBy(col("doc_id"))),
     // train/eval n-gram contamination check (eval = doc_id % 20 == 0 slice)
-    "ta_contamination" -> ((s, d) => TrainingOps.contaminationCheck(s, t(s, d, "documents"))),
+    "ta_contamination" -> ((s, d) =>
+      TrainingOps.contaminationCheck(s, t(s, d, "documents")).orderBy(col("doc_id"))),
 
     // the contamination family's stored path (completes the quartet with
     // dd_{minhash,simhash,ngram}_stored): the DISTINCT train-gram table is
@@ -754,6 +780,7 @@ object SparkEntry {
       }
       TrainingOps.contaminationFromTrainGrams(s, t(s, d, "documents"),
         graft.core.TableIO.read(s, loc.toString))
+        .orderBy(col("doc_id"))
     }),
     // exact top-k token frequencies (TakeOrderedAndProject — k rows ever
     // collected; tie-break token ASC for engine-deterministic boundaries)
@@ -762,23 +789,27 @@ object SparkEntry {
     "ta_vocab_topk" -> ((s, d) => TrainingOps.vocabTopK(t(s, d, "documents"), k = 20)),
     // CCNet-style unigram-LM scoring (nats/token against the corpus's own
     // unigram distribution; flag = rare-token-heavy docs)
-    "ta_perplexity" -> ((s, d) => TrainingOps.unigramLogProb(t(s, d, "documents"))),
+    "ta_perplexity" -> ((s, d) =>
+      TrainingOps.unigramLogProb(t(s, d, "documents")).orderBy(col("doc_id"))),
     // greedy sample packing into 512-token context windows, 64 shards
-    "ta_seq_pack" -> ((s, d) => TrainingOps.sequencePack(s, t(s, d, "documents"))),
+    "ta_seq_pack" -> ((s, d) =>
+      TrainingOps.sequencePack(s, t(s, d, "documents")).orderBy(col("doc_id"))),
     // contamination with a broadcast Bloom pre-filter on the eval grams —
     // result-identical to ta_contamination (shares its oracle); the exact
     // join input shrinks to true overlaps + fpp false positives
-    "ta_contamination_bloom" ->
-      ((s, d) => TrainingOps.contaminationCheckBloom(s, t(s, d, "documents"))),
+    "ta_contamination_bloom" -> ((s, d) =>
+      TrainingOps.contaminationCheckBloom(s, t(s, d, "documents")).orderBy(col("doc_id"))),
     // temperature-scaled source mixing weights (τ=0.5 upweights rare sources)
-    "ta_mix_weights" -> ((s, d) => TrainingOps.sourceMixWeights(t(s, d, "documents"))),
+    "ta_mix_weights" -> ((s, d) =>
+      TrainingOps.sourceMixWeights(t(s, d, "documents")).orderBy(col("source"))),
     // per-source quality calibration: type-1 discrete percentiles of the
     // stopword ratio (integer ranks — exact cross-engine, no interpolation)
-    "ta_quality_calibration" ->
-      ((s, d) => TrainingOps.qualityCalibration(t(s, d, "documents"))),
+    "ta_quality_calibration" -> ((s, d) =>
+      TrainingOps.qualityCalibration(t(s, d, "documents")).orderBy(col("source"))),
     // deterministic per-epoch training order (hash-bucketed reshuffle,
     // shard-local rank — no global sort)
-    "ta_epoch_shuffle" -> ((s, d) => TrainingOps.epochShuffle(s, t(s, d, "documents"))),
+    "ta_epoch_shuffle" -> ((s, d) => TrainingOps.epochShuffle(s, t(s, d, "documents"))
+      .orderBy(col("epoch"), col("shard"), col("ord"))),
 
     // ------------------------- curation funnel (extract → filter → dedup)
     // all stage counts in ONE conditional-aggregation scan of the extraction
@@ -803,7 +834,7 @@ object SparkEntry {
       import s.implicits._
       val spans = s.range(0L, 300L)
         .map(i => Extractor.extractDoc(SpanGen.genDoc(SpanGen.docId(i)))).toDF()
-      TrainingOps.piiScrub(graft.job.CurationJob.docText(spans))
+      TrainingOps.piiScrub(graft.job.CurationJob.docText(spans)).orderBy(col("doc_id"))
     }),
 
     // ------------------------------------- extraction pipeline (north rule)

@@ -165,7 +165,6 @@ object MediaOps {
         // floor-based half-up rounding: identical IEEE ops in Spark and
         // DuckDB (Spark's round() rounds the shortest-decimal repr instead)
         (floor(avg(col("dark_ratio")) * 10000 + 0.5) / 10000).as("avg_dark_ratio"))
-      .orderBy(col("kind"))
 
   private[multimodal] def utf8(s: String): Array[Byte] = s.getBytes(StandardCharsets.UTF_8)
 }

@@ -171,7 +171,6 @@ object EntityLink {
         count(lit(1)).as("n_canonicals"),
         sum(col("n_aliases")).cast("long").as("total_aliases"),
         max(col("n_aliases")).cast("long").as("max_aliases"))
-      .orderBy(col("entity_type"), col("confidence_level"))
 
   /** Entity co-occurrence edges — the deterministic analog of the
     * reference's LLM relationship extraction (extract.py:99-103 →
@@ -202,7 +201,6 @@ object EntityLink {
       .withColumn("relation", lit("co_mentioned"))
       .select(col("type_a"), col("norm_a"), col("type_b"), col("norm_b"),
         col("relation"), col("n_docs"), col("evidence_doc"))
-      .orderBy(col("n_docs").desc, col("type_a"), col("norm_a"), col("type_b"), col("norm_b"))
   }
 
   /** Per-type linking stats — the stable, orderable face for the driver. */
@@ -217,5 +215,4 @@ object EntityLink {
         count(lit(1)).as("n_canonicals"),
         countDistinct(col("canonical")).as("n_clusters"),
         sum(col("occurrences")).cast("long").as("n_mentions"))
-      .orderBy(col("entity_type"))
 }

@@ -67,6 +67,5 @@ object OcrOps {
         avgConf.as("avg_confidence"),
         sum(col("word_count")).cast("long").as("total_words"))
       .withColumn("confidence_level", confidenceLevel(col("avg_confidence")))
-      .orderBy(col("doc_id"))
   }
 }

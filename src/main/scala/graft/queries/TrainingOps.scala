@@ -255,7 +255,6 @@ object TrainingOps {
         (aggregate(zip_with(col("sa.sig"), col("sb.sig"), (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / k).as("est_jaccard"))
       .where(col("est_jaccard") >= minSim)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   // --------------------------------------------------------------- simhash
@@ -309,7 +308,6 @@ object TrainingOps {
         bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   // ------------------------------------------------------- n-gram jaccard
@@ -411,7 +409,6 @@ object TrainingOps {
         (floor(col("inter").cast("double") /
           (col("za.sz") + col("zb.sz") - col("inter")) * 1e4 + 0.5) / 1e4).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   // --------------------------------------------------- cluster resolution
@@ -559,7 +556,6 @@ object TrainingOps {
     connectedComponents(spark,
       ngramJaccardPairs(spark, docs, n, minJaccard, maxDf).select(col("doc_a"), col("doc_b")))
       .select(col("node").as("doc_id"), col("comp").as("component"))
-      .orderBy(col("doc_id"))
 
   // --------------------------------------------------- similarity search
 
@@ -602,7 +598,6 @@ object TrainingOps {
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         (floor(col("sim") * 1e4 + 0.5) / 1e4).as("sim"))
-      .orderBy(col("query_id"), col("rank"))
   }
 
   /** Deterministic random-hyperplane bucket signature per vector (shared by
@@ -661,7 +656,7 @@ object TrainingOps {
         // floor-based half-up 4dp (see cosineTopK): keeps the whole
         // similarity family on the engine-agnostic rounding formulation
         (floor(cosine(col("a.embedding"), col("b.embedding")) * 1e4 + 0.5) / 1e4).as("sim"))
-    cands.where(col("sim") >= minSim).orderBy(col("vec_a"), col("vec_b"))
+    cands.where(col("sim") >= minSim)
   }
 
   /** Scale path ANN: random-hyperplane LSH bucketing; probes the query's
@@ -704,7 +699,6 @@ object TrainingOps {
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         (floor(col("sim") * 1e4 + 0.5) / 1e4).as("sim"))
-      .orderBy(col("query_id"), col("rank"))
   }
 
   /** Embedding-cosine near-duplicate pairs, exact: all (a<b) pairs with
@@ -780,7 +774,6 @@ object TrainingOps {
         }
       }
       .toDF("vec_a", "vec_b", "sim")
-      .orderBy(col("vec_a"), col("vec_b"))
   }
 
   /** Shared primitive: cosine between two float vectors (tight loop — used
@@ -875,7 +868,6 @@ object TrainingOps {
       .map { case (_, v) => nearestCell(v, bCents.value) }
       .toDF("cell")
       .groupBy(col("cell")).agg(count(lit(1)).as("n"))
-      .orderBy(col("cell"))
   }
 
   /** IVF (inverted-file) ANN: coarse-quantize the corpus to `nCells`
@@ -925,7 +917,6 @@ object TrainingOps {
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         (floor(col("sim") * 1e4 + 0.5) / 1e4).as("sim"))
-      .orderBy(col("query_id"), col("rank"))
   }
 
   // ----------------------------------------------------------- text stats
@@ -950,7 +941,6 @@ object TrainingOps {
     }: _*), asc = false).getItem(0)
     docs.select(col("doc_id").cast("long").as("doc_id"), col("lang").as("actual"),
         when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und")).as("predicted"))
-      .orderBy(col("doc_id"))
   }
 
   /** Quality scoring: length, punctuation ratio, stopword ratio, mean word
@@ -971,7 +961,6 @@ object TrainingOps {
         r4(when(words > 0, stops / words).otherwise(0.0)).as("stopword_ratio"),
         r4(when(nChars > 0, puncts / nChars).otherwise(0.0)).as("punct_ratio"),
         r4(when(words > 0, (nChars - (words - 1)) / words).otherwise(0.0)).as("avg_word_len"))
-      .orderBy(col("doc_id"))
   }
 
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation. */
@@ -981,7 +970,6 @@ object TrainingOps {
         size(regexp_extract_all(col("text"), lit("""\S+"""), lit(0))).cast("long").as("ws_tokens"),
         size(regexp_extract_all(col("text"),
           lit("""[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"""), lit(0))).cast("long").as("bpe_tokens"))
-      .orderBy(col("doc_id"))
 
   /** Document fingerprinting: winnowing-style — rolling 8-gram char hashes,
     * keep the s smallest (a robust containment/near-dup sketch).
@@ -1006,7 +994,6 @@ object TrainingOps {
         hs.distinct.sorted.take(keep).iterator.zipWithIndex
           .map { case (fp, idx) => (id, idx.toLong, fp) }
       }.toDF("doc_id", "idx", "fp")
-      .orderBy(col("doc_id"), col("idx"))
   }
 
   /** Intra-document repetition metrics — the Gopher-style repetition
@@ -1047,7 +1034,6 @@ object TrainingOps {
         (id, n.toLong, r4(dupWord), r4(topBg), r4(dupTg), r4(topBg) >= 0.2)
       }.toDF("doc_id", "n_words", "dup_word_ratio", "top_bigram_ratio",
         "dup_trigram_ratio", "flagged")
-      .orderBy(col("doc_id"))
   }
 
   /** Train/eval contamination check — per eval document, how many of its
@@ -1120,7 +1106,6 @@ object TrainingOps {
         (floor(col("n_overlap").cast("double") / col("n_grams") * 1e4 + 0.5) / 1e4)
           .as("overlap_ratio"),
         (col("n_overlap") > 0).as("contaminated"))
-      .orderBy(col("doc_id"))
   }
 
   /** Corpus vocabulary heavy hitters — top-k tokens by exact frequency,
@@ -1157,7 +1142,6 @@ object TrainingOps {
         size(regexp_extract_all(t, lit(phone), lit(0))).cast("long").as("n_phones"),
         md5(regexp_replace(regexp_replace(t, lit(email), lit("[EMAIL]")),
           lit(phone), lit("[PHONE]"))).as("scrub_hash"))
-      .orderBy(col("doc_id"))
   }
 
   /** Unigram-LM document scoring — the CCNet-style perplexity quality
@@ -1194,7 +1178,6 @@ object TrainingOps {
       .agg(sum(col("c")).cast("long").as("n_tokens"), q.as("avg_neg_logprob"))
       .select(col("doc_id"), col("n_tokens"), col("avg_neg_logprob"),
         (col("avg_neg_logprob") >= flagThreshold).as("flagged"))
-      .orderBy(col("doc_id"))
   }
 
   /** Greedy sequence packing — assign documents to fixed-capacity training
@@ -1232,7 +1215,6 @@ object TrainingOps {
         (id, s0, bin, n)
       }
     }.toDF("doc_id", "shard", "bin", "n_tok")
-      .orderBy(col("doc_id"))
   }
 
   /** Contamination check with a Bloom-filter pre-filter on the eval side —
@@ -1275,7 +1257,6 @@ object TrainingOps {
         (floor(col("n_overlap").cast("double") / col("n_grams") * 1e4 + 0.5) / 1e4)
           .as("overlap_ratio"),
         (col("n_overlap") > 0).as("contaminated"))
-      .orderBy(col("doc_id"))
   }
 
   /** Deterministic per-epoch shuffle — the training-order staple: each
@@ -1304,7 +1285,6 @@ object TrainingOps {
         row_number().over(Window.partitionBy(col("epoch"), col("shard"))
           .orderBy(col("k"), col("doc_id"))).cast("long").as("ord"),
         col("doc_id"))
-      .orderBy(col("epoch"), col("shard"), col("ord"))
   }
 
   /** Per-source quality calibration — discrete percentiles of the T10
@@ -1334,7 +1314,6 @@ object TrainingOps {
     ranked.groupBy(col("source"))
       .agg(max(col("n")).cast("long").as("n_docs"),
         atP(10).as("stop_p10"), atP(50).as("stop_p50"), atP(90).as("stop_p90"))
-      .orderBy(col("source"))
   }
 
   /** Temperature-scaled source mixing weights — the data-mixing staple
@@ -1358,6 +1337,5 @@ object TrainingOps {
       .select(col("source"), col("n_docs"), col("n_tokens"),
         (floor(pow(col("n_tokens").cast("double"), lit(temperature)) / col("z")
           * 1e4 + 0.5) / 1e4).as("weight"))
-      .orderBy(col("source"))
   }
 }

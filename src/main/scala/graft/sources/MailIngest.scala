@@ -118,5 +118,4 @@ object MailIngest {
     attachments(spark, docs)
       .groupBy(col("msg_id"))
       .agg(count(lit(1)).as("n_attachments"), sum(col("n_bytes")).cast("long").as("att_bytes"))
-      .orderBy(col("msg_id"))
 }

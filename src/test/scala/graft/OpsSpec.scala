@@ -99,14 +99,14 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     // default cap (10000) can never trigger below 10k docs ⇒ identical output
     val mhCap = TrainingOps.minhashPairs(spark, docsDf, minSim = 0.05)
-      .collect().map(_.toSeq).toSeq
+      .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
     val mhOff = TrainingOps.minhashPairs(spark, docsDf, minSim = 0.05, maxBucket = 0)
-      .collect().map(_.toSeq).toSeq
+      .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
     assert(mhCap == mhOff && mhCap.nonEmpty)
     val shCap = TrainingOps.simhashPairs(spark, docsDf, maxHamming = 8)
-      .collect().map(_.toSeq).toSeq
+      .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
     val shOff = TrainingOps.simhashPairs(spark, docsDf, maxHamming = 8, maxBucket = 0)
-      .collect().map(_.toSeq).toSeq
+      .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
     assert(shCap == shOff && shCap.nonEmpty)
 
     // adversarial web-scale shape: 10k IDENTICAL docs → every band/chunk is
@@ -172,25 +172,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.core.TableIO.write(TrainingOps.minhashSignatures(spark, docsDf), s"$tmp/mh_sigs")
     val mStored = TrainingOps.minhashPairsFromSignatures(spark,
         graft.core.TableIO.read(spark, s"$tmp/mh_sigs"), minSim = 0.05)
-      .collect().map(_.toSeq).toSeq
+      .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
     val mLazy = TrainingOps.minhashPairs(spark, docsDf, minSim = 0.05)
-      .collect().map(_.toSeq).toSeq
+      .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
     assert(mStored == mLazy && mStored.nonEmpty)
 
     graft.core.TableIO.write(TrainingOps.simhashFingerprints(spark, docsDf), s"$tmp/sh_fps")
     val sStored = TrainingOps.simhashPairsFromFingerprints(spark,
         graft.core.TableIO.read(spark, s"$tmp/sh_fps"), maxHamming = 8)
-      .collect().map(_.toSeq).toSeq
+      .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
     val sLazy = TrainingOps.simhashPairs(spark, docsDf, maxHamming = 8)
-      .collect().map(_.toSeq).toSeq
+      .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
     assert(sStored == sLazy && sStored.nonEmpty)
 
     graft.core.TableIO.write(TrainingOps.ngramShingles(spark, docsDf), s"$tmp/ng_sh")
     val nStored = TrainingOps.ngramJaccardFromShingles(spark,
         graft.core.TableIO.read(spark, s"$tmp/ng_sh"), minJaccard = 0.02)
-      .collect().map(_.toSeq).toSeq
+      .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
     val nLazy = TrainingOps.ngramJaccardPairs(spark, docsDf, minJaccard = 0.02)
-      .collect().map(_.toSeq).toSeq
+      .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
     assert(nStored == nLazy && nStored.nonEmpty)
   }
 
@@ -220,9 +220,9 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     // default cap (10000) can never trigger below 10k docs ⇒ identical output
     val capped = TrainingOps.ngramJaccardPairs(spark, docsDf, minJaccard = 0.05)
-      .collect().map(_.toSeq).toSeq
+      .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
     val uncapped = TrainingOps.ngramJaccardPairs(spark, docsDf, minJaccard = 0.05, maxDf = 0)
-      .collect().map(_.toSeq).toSeq
+      .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
     assert(capped == uncapped)
     // adversarial: 40 otherwise-unique docs sharing one boilerplate trigram
     // → uncapped forms the full 40·39/2 quadratic bucket; df-cap kills it
@@ -305,7 +305,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // shared = 0.75 ≥ 0.5) ⇒ one component {0,1,4} labeled 0; docs 2/3
     // have no pair at 0.5 ⇒ absent (singletons are their own survivor)
     val got = TrainingOps.nearDupComponents(spark, docsDf)
-      .as[(Long, Long)].collect().toSeq
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
     assert(got == Seq(0L -> 0L, 1L -> 0L, 4L -> 0L))
     // CC is pair-family agnostic: the minhash pair graph resolves to the
     // same cluster on this corpus (signature-estimated jaccard finds the
@@ -425,13 +425,14 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val expect = List((0L, 0L, 0L, 4L), (1L, 1L, 0L, 12L), (2L, 0L, 0L, 5L),
       (3L, 1L, 1L, 2L), (4L, 0L, 1L, 3L), (5L, 1L, 2L, 9L))
     val r = TrainingOps.sequencePack(spark, docs, capacity = 10, nShards = 2)
+      .orderBy("doc_id")
       .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))).toList
     assert(r == expect)
     // input partitioning must not leak into the assignment (the shard
     // repartition + in-shard sort fully determine the scan order)
     val r7 = TrainingOps.sequencePack(spark, docs.repartition(7), capacity = 10,
-      nShards = 2).collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
-      x.getLong(3))).toList
+      nShards = 2).orderBy("doc_id").collect().map(x => (x.getLong(0), x.getLong(1),
+      x.getLong(2), x.getLong(3))).toList
     assert(r7 == expect)
   }
 
@@ -770,9 +771,9 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("IVF Lloyd centroids: deterministic, all cells occupied, occupancy balanced") {
     val h1 = TrainingOps.ivfCellHistogram(spark, realEmb, nCells = 8)
-      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      .orderBy("cell").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
     val h2 = TrainingOps.ivfCellHistogram(spark, realEmb, nCells = 8)
-      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      .orderBy("cell").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
     assert(h1 == h2, "fixed-point sums must make k-means order-independent")
     info(s"cell occupancy: $h1")
     assert(h1.map(_._1) == (0 until 8), "every cell must be occupied")
@@ -926,12 +927,15 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // they must stay row-identical to computing from the kernel directly
     val fromStore = SparkEntry.queries("j4_entity_link")(spark, "unused")
       .collect().map(_.toSeq).toSeq
-    val fromKernel = EntityLink.linkStats(spark, 300).collect().map(_.toSeq).toSeq
+    val fromKernel = EntityLink.linkStats(spark, 300)
+      .orderBy("entity_type").collect().map(_.toSeq).toSeq
     assert(fromStore == fromKernel)
     val cooStore = SparkEntry.queries("j6_cooccurrence")(spark, "unused")
       .collect().map(_.toSeq).toSeq
-    val cooKernel = EntityLink.cooccurrence(spark, 300, minDocs = 2).limit(100)
-      .collect().map(_.toSeq).toSeq
+    val cooKernel = EntityLink.cooccurrence(spark, 300, minDocs = 2)
+      .orderBy(col("n_docs").desc, col("type_a"), col("norm_a"),
+        col("type_b"), col("norm_b"))
+      .limit(100).collect().map(_.toSeq).toSeq
     assert(cooStore == cooKernel && cooStore.nonEmpty)
   }
 
