@@ -82,7 +82,10 @@ object Bench {
       val fs = java.nio.file.Files.getFileStore(java.nio.file.Paths.get("/dev/shm"))
       (fs.getTotalSpace - fs.getUsableSpace) / (1024L * 1024L)
     } catch { case _: Throwable => -1L }
-    def js(s: String) = "\"" + s.replaceAll("[\"\\\\\n\r\t]", " ") + "\""
+    // strip the FULL control range, not just whitespace controls: a \f or
+    // ESC inside an exception message or /proc read would otherwise emit
+    // invalid JSON into BENCH_DETAILS' env array
+    def js(s: String) = "\"" + s.replaceAll("[\\p{Cntrl}\"\\\\]", " ") + "\""
     s"""{"at":${js(label)},"mem_available_mib":$memAvailMiB,""" +
       s""""cgroup_memory_max":${js(cgMax)},"loadavg":${js(load)},""" +
       s""""devshm_used_mib":$shmUsedMiB""" +

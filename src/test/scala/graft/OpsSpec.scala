@@ -270,6 +270,14 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val local = TrainingOps.connectedComponents(spark, edges)
       .orderBy("node").as[(Long, Long)].collect().toSeq
     assert(reliable == local && reliable.nonEmpty)
+    // per-round hygiene: unpersist() leaves checkpoint FILES behind, so the
+    // loop must delete each superseded round's rdd-* dir — after the run
+    // only the final label table's checkpoint may remain on disk
+    val rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
+      .filter(p => p.getFileName.toString.startsWith("rdd-"))
+      .toArray.toSeq
+    assert(rddDirs.size == 1,
+      s"stale per-round checkpoints not reclaimed: ${rddDirs.mkString(", ")}")
   }
 
   test("connected components match driver-side union-find on pseudo-random graphs") {
