@@ -18,7 +18,13 @@ import org.apache.spark.sql.{DataFrame, DataFrameReader, DataFrameWriter, SparkS
   */
 object TableIO {
 
-  val format: String = sys.env.getOrElse("GRAFT_TABLE_FORMAT", "parquet")
+  /** Resolved at CALL time, not class-load time: the `graft.table.format`
+    * system property wins (lets CatalogSeamSpec exercise the catalog
+    * branch in-JVM — an env-var val would freeze the seam at first touch),
+    * then the deployment's `GRAFT_TABLE_FORMAT`, then parquet. */
+  def format: String =
+    sys.props.getOrElse("graft.table.format",
+      sys.env.getOrElse("GRAFT_TABLE_FORMAT", "parquet"))
 
   /** True when `format` addresses tables by filesystem path (parquet/orc);
     * false for catalog formats (iceberg), where identifiers are table
