@@ -791,6 +791,25 @@ object SparkEntry {
     // unigram distribution; flag = rare-token-heavy docs)
     "ta_perplexity" -> ((s, d) =>
       TrainingOps.unigramLogProb(t(s, d, "documents")).orderBy(col("doc_id"))),
+    // held-out-LM mode (the actual CCNet posture): the unigram vocab is
+    // built from the TRAIN slice only (doc_id % 20 != 0), materialized
+    // once through TableIO (marker-gated — the stored-LM artifact), and
+    // the eval slice is scored against the store; OOV tokens score at the
+    // Laplace floor (count 1). Completes the stored-table quintet with
+    // dd_{minhash,simhash,ngram}_stored + ta_contamination_stored.
+    "ta_perplexity_heldout" -> ((s, d) => {
+      val loc = graft.core.Materialize.warehousePath(s, "graft_unigram_vocab")
+      graft.core.Materialize.onceAt(s, loc, s"unigram_vocab:m20:$d") {
+        graft.core.TableIO.write(
+          TrainingOps.unigramVocab(t(s, d, "documents")
+            .where(pmod(col("doc_id").cast("long"), lit(20)) =!= 0)), loc.toString)
+      }
+      TrainingOps.unigramLogProbFromVocab(s,
+          t(s, d, "documents")
+            .where(pmod(col("doc_id").cast("long"), lit(20)) === 0),
+          graft.core.TableIO.read(s, loc.toString))
+        .orderBy(col("doc_id"))
+    }),
     // greedy sample packing into 512-token context windows, 64 shards
     "ta_seq_pack" -> ((s, d) =>
       TrainingOps.sequencePack(s, t(s, d, "documents")).orderBy(col("doc_id"))),
@@ -1558,6 +1577,24 @@ object SparkEntry {
         | floor(sum(dt.c * -ln(CAST(v.n AS DOUBLE) / tot.t)) / sum(dt.c)
         |   * 10000 + 0.5) / 10000 >= CAST(3.5 AS DOUBLE) AS flagged
         |FROM dt JOIN v USING (token), tot
+        |GROUP BY dt.doc_id ORDER BY dt.doc_id""".stripMargin,
+    // held-out-LM replay: vocab from the train slice only, eval docs LEFT
+    // JOIN it, OOV at the Laplace floor (coalesce(n, 1)); doc_id ≥ 0 in
+    // the documents table so % matches Spark's pmod
+    "ta_perplexity_heldout" ->
+      """WITH w AS (SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |v AS (SELECT token, count(*) AS n FROM w WHERE doc_id % 20 <> 0 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM v),
+        |dt AS (SELECT doc_id, token, count(*) AS c FROM w
+        |  WHERE doc_id % 20 = 0 GROUP BY 1, 2)
+        |SELECT dt.doc_id, CAST(sum(dt.c) AS BIGINT) AS n_tokens,
+        | floor(sum(dt.c * -ln(CAST(coalesce(v.n, 1) AS DOUBLE) / tot.t)) / sum(dt.c)
+        |   * 10000 + 0.5) / 10000 AS avg_neg_logprob,
+        | floor(sum(dt.c * -ln(CAST(coalesce(v.n, 1) AS DOUBLE) / tot.t)) / sum(dt.c)
+        |   * 10000 + 0.5) / 10000 >= CAST(3.5 AS DOUBLE) AS flagged
+        |FROM dt LEFT JOIN v USING (token), tot
         |GROUP BY dt.doc_id ORDER BY dt.doc_id""".stripMargin,
     // sequence-packing replay: greedy first-fit scan per shard is a
     // recursive CTE advancing one document per iteration per shard (the

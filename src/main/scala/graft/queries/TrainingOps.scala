@@ -1202,6 +1202,47 @@ object TrainingOps {
         (col("avg_neg_logprob") >= flagThreshold).as("flagged"))
   }
 
+  /** Unigram vocabulary counts `(token, n)` over `docs` — the
+    * materialize-once LM artifact for [[unigramLogProbFromVocab]]: in
+    * production the reference-corpus counts are written once through
+    * `TableIO` per LM snapshot and every scoring sweep reads the store
+    * (the same stored-table doctrine as [[contaminationTrainGrams]]). One
+    * shuffle, map-side partial aggregation, vocabulary-sized state. */
+  def unigramVocab(docs: DataFrame): DataFrame =
+    docs.select(explode(split(lower(col("text")), "\\s+")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+
+  /** [[unigramLogProb]] in HELD-OUT-LM mode — the actual CCNet posture
+    * (Wenzek et al. 2020 §4.3 train the LM on a reference corpus): the
+    * scored documents do NOT contribute to the model, removing the
+    * self-scoring bias of the corpus's-own-LM face (a document's own rare
+    * tokens inflate the vocabulary and deflate its score there). `vocab`
+    * is a `(token, n)` table from [[unigramVocab]] (stored or lazy);
+    * out-of-vocabulary tokens score at the Laplace floor, count 1 —
+    * −ln(1/t) nats, the maximum surprise the model can express. Join
+    * shape identical to [[unigramLogProb]]: per-(doc, token) pre-aggregated
+    * ⇒ fan-out 1, 1-row broadcast normalizer; same ~1-ulp .xxxx5
+    * quantization residual. */
+  def unigramLogProbFromVocab(spark: SparkSession, docs: DataFrame,
+      vocab: DataFrame, flagThreshold: Double = 3.5): DataFrame = {
+    val docTok = docs.select(col("doc_id").cast("long").as("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum(col("n")).cast("double").as("t"))
+    val q = floor(
+      (sum(col("c").cast("double")
+        * -log(coalesce(col("n"), lit(1L)).cast("double") / col("t")))
+        / sum(col("c"))) * 1e4 + 0.5) / 1e4
+    docTok.join(vocab.select(col("token"), col("n")), Seq("token"), "left")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"), q.as("avg_neg_logprob"))
+      .select(col("doc_id"), col("n_tokens"), col("avg_neg_logprob"),
+        (col("avg_neg_logprob") >= flagThreshold).as("flagged"))
+  }
+
   /** Greedy sequence packing — assign documents to fixed-capacity training
     * context windows (the sample-packing step between curation and
     * tokenized shards). Packing is inherently sequential, so the corpus is

@@ -422,6 +422,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r == List((0L, 3L, 0.9163, false), (1L, 2L, 1.2629, true)))
   }
 
+  test("held-out-LM log-prob: stored vocab, OOV at the Laplace floor, no self-scoring") {
+    import spark.implicits._
+    // reference vocab from TRAIN docs only: a=2 b=2 c=1, total=5
+    val train = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val vocab = TrainingOps.unigramVocab(train)
+    // eval doc (a z): z is OOV → count 1 (Laplace floor), and z must NOT
+    // enter the vocabulary (the self-scoring bias the held-out mode
+    // removes): -(ln(2/5) + ln(1/5))/2 = 1.2629
+    val eval_ = Seq((0L, "a z")).toDF("doc_id", "text")
+    val r = TrainingOps.unigramLogProbFromVocab(spark, eval_, vocab,
+        flagThreshold = 1.0).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getBoolean(3))).toList
+    assert(r == List((0L, 2L, 1.2629, true)))
+    // round-trip through a stored vocab table (the production artifact)
+    val dir = java.nio.file.Files.createTempDirectory("graft-uvocab").toString
+    graft.core.TableIO.write(vocab, dir)
+    val stored = TrainingOps.unigramLogProbFromVocab(spark, eval_,
+        graft.core.TableIO.read(spark, dir), flagThreshold = 1.0).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getBoolean(3))).toList
+    assert(stored == r)
+  }
+
   test("sequence packing: greedy first-fit per shard, oversize doc overflows its own bin") {
     import spark.implicits._
     def doc(id: Long, n: Int) = (id, Seq.fill(n)("w").mkString(" "))
