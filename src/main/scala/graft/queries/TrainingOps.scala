@@ -1303,24 +1303,103 @@ object TrainingOps {
     * block-manager memory for the session lifetime. */
   def contaminationCheckBloom(spark: SparkSession, docs: DataFrame,
       n: Int = 8, evalMod: Int = 20, fpp: Double = 0.01): DataFrame = {
-    import spark.implicits._
+    // the lazy train-gram pipeline feeds three consumers inside the
+    // delegate (count, Bloom build, exact join) — materialize it ONCE
+    // here; the delegate deliberately does not checkpoint, so a stored
+    // table passed to it is never pointlessly copied
     val trainG = contaminationTrainGrams(spark, docs, n, evalMod, hashGrams = true)
       .localCheckpoint(true)
-    val bf = trainG.stat.bloomFilter("g", math.max(trainG.count(), 1L), fpp)
-    val bbf = spark.sparkContext.broadcast(bf)
-    // evalG also feeds two consumers (per-doc totals BEFORE the filter,
-    // and the Bloom-admitted candidate stream) — checkpoint it like trainG
-    // so the eval slice shingles once, not once per consumer
-    val evalG = gramsOf(spark,
-      docs.where(pmod(col("doc_id").cast("long"), lit(evalMod)) === 0),
-      n, hashed = true).localCheckpoint(true)
-    val totals = evalG.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-    val candidates = evalG.as[(Long, Long)]
-      .filter(r => bbf.value.mightContainLong(r._2))
-      .toDF("doc_id", "g")
-    val overlap = candidates.join(trainG.select(col("g")), Seq("g"))
+    val result = contaminationBloomFromTrainGrams(spark, docs, trainG, n, evalMod, fpp)
+    trainG.unpersist()
+    result
+  }
+
+  /** [[contaminationCheckBloom]] against an already-built DISTINCT
+    * train-gram table — the stored-table face, mirroring
+    * [[contaminationFromTrainGrams]]: in production the reference-gram
+    * table (benchmark suites, held-out sets) is materialized once through
+    * `TableIO` and every corpus sweep reads it. `trainGrams` must be the
+    * HASHED-gram form (single long column `g`, distinct) — the Bloom is
+    * keyed on the 64-bit gram hash.
+    *
+    * This is where the Bloom earns its keep: when `trainGrams` outgrows
+    * the broadcast threshold (an exact hash side stops fitting on
+    * executors long before its ~9.6-bits/gram Bloom does), the plain exact
+    * join must SHUFFLE every corpus-side gram, while this face broadcasts
+    * the Bloom, drops non-candidates map-side, and only true overlaps +
+    * fpp false positives ever reach the exchange — the corpus side of a
+    * 100 TB decontamination sweep never shuffles. Output is exact either
+    * way (no false negatives; the exact join kills the false positives).
+    * ContamScale measures both regimes. */
+  def contaminationBloomFromTrainGrams(spark: SparkSession, docs: DataFrame,
+      trainGrams: DataFrame, n: Int = 8, evalMod: Int = 20,
+      fpp: Double = 0.01): DataFrame =
+    contaminationBloomPrebuilt(spark, docs, trainGrams,
+      trainGramBloom(trainGrams, fpp), n, evalMod)
+
+  /** Build the reference-gram Bloom filter — like the gram table itself,
+    * a once-per-reference-snapshot artifact: the build scans the gram
+    * store twice (count for sizing, then the sketch aggregation, whose
+    * tree-aggregate exchanges one partial filter per partition — a cost
+    * proportional to cluster width × filter size, NOT to the corpus being
+    * swept), so production callers build it once, keep it beside the gram
+    * store, and run every sweep through
+    * [[contaminationBloomPrebuilt]]. `trainGrams` must be the hashed-gram
+    * form (single long column `g`, distinct). */
+  def trainGramBloom(trainGrams: DataFrame,
+      fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
+    val g = trainGrams.select(col("g"))
+    g.stat.bloomFilter("g", math.max(g.count(), 1L), fpp)
+  }
+
+  /** The decontamination sweep against a PREBUILT reference Bloom (from
+    * [[trainGramBloom]]) + the exact gram store — the steady-state
+    * production shape: per sweep, the corpus pays one narrow map pass and
+    * one exchange of the admitted sliver, never a gram-table scan-to-build
+    * or a corpus-gram shuffle. */
+  def contaminationBloomPrebuilt(spark: SparkSession, docs: DataFrame,
+      trainGrams: DataFrame, bloom: org.apache.spark.util.sketch.BloomFilter,
+      n: Int = 8, evalMod: Int = 20): DataFrame = {
+    import spark.implicits._
+    // trainGrams is deliberately NOT checkpointed here: the intended input
+    // is a MATERIALIZED store (or the lazy wrapper's checkpoint), and
+    // re-copying a multi-GB stored gram table cost more than the Bloom
+    // saved (measured in ContamScale); a scan of a single stored long
+    // column is cheap
+    val trainG = trainGrams.select(col("g"))
+    val bbf = spark.sparkContext.broadcast(bloom)
+    // the checked corpus is consumed in ONE narrow per-document pass:
+    // shingle, hash, probe the Bloom — all inside the map, emitting one
+    // (doc_id, n_grams, admitted[]) row per document. The gram stream
+    // never exists as a table, so nothing gram-sized is ever shuffled,
+    // aggregated, or materialized — the property that lets a 100 TB sweep
+    // run without exchanging its grams. (Two rejected cuts, both measured
+    // slower than the plain join in ContamScale: checkpointing the full
+    // gram stream to feed totals + candidates separately paid a
+    // gram-sized copy; groupBy-collect_list over millions of doc keys fell
+    // back to sort-based ObjectHashAggregate — a full sort of the gram
+    // stream.)
+    val perDoc = docs
+      .where(pmod(col("doc_id").cast("long"), lit(evalMod)) === 0)
+      .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val bf = bbf.value
+        it.map { case (id, text) =>
+          val sh = shingles(text, n)
+          val adm = scala.collection.mutable.ArrayBuilder.make[Long]
+          sh.foreach { g =>
+            val h = fnv1a64(g)
+            if (bf.mightContainLong(h)) adm += h
+          }
+          (id, sh.size.toLong, adm.result())
+        }
+      }.toDF("doc_id", "n_grams", "cand")
+      .localCheckpoint(true)
+    val overlap = perDoc.select(col("doc_id"), explode(col("cand")).as("g"))
+      .join(trainG.select(col("g")), Seq("g"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
-    val result = totals.join(overlap, Seq("doc_id"), "left")
+    val result = perDoc.select(col("doc_id"), col("n_grams"))
+      .join(overlap, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
       .select(col("doc_id"), col("n_grams"), col("n_overlap"),
@@ -1329,8 +1408,7 @@ object TrainingOps {
         (col("n_overlap") > 0).as("contaminated"))
       .localCheckpoint(true)
     bbf.destroy()
-    trainG.unpersist()
-    evalG.unpersist()
+    perDoc.unpersist()
     result
   }
 

@@ -397,6 +397,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stored == lazyPath && stored.nonEmpty)
   }
 
+  test("Bloom contamination from a stored train-gram table equals the plain stored path") {
+    // the production decontamination shape: reference grams (hashed form)
+    // materialized once, the corpus sweep runs the Bloom face against the
+    // store — must be row-identical to the plain stored-gram join
+    val grams = TrainingOps.contaminationTrainGrams(spark, docsDf, n = 3, evalMod = 2,
+      hashGrams = true)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloomgrams").toString
+    graft.core.TableIO.write(grams, dir)
+    val store = graft.core.TableIO.read(spark, dir)
+    val bloomStored = TrainingOps.contaminationBloomFromTrainGrams(spark, docsDf,
+        store, n = 3, evalMod = 2)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val plainStored = TrainingOps.contaminationFromTrainGrams(spark, docsDf,
+        store, n = 3, evalMod = 2, hashGrams = true)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(bloomStored == plainStored && bloomStored.nonEmpty)
+  }
+
   test("contamination with the Bloom pre-filter equals the exact hashed-gram path") {
     // no false negatives (Bloom guarantee) + the exact join removes false
     // positives ⇒ bit-identical output to the plain distinct-gram join
