@@ -174,11 +174,11 @@ object ContamScale {
     * vocab, so join input ≈ true overlap + fpp):
     *
     * A. VERDICT-r6-prescribed shape — eval slice FIXED (~2.5k docs), train
-    *    corpus grown. Here both paths pay the same dominant cost (the
-    *    distinct over every train gram) and the tiny eval side broadcasts
-    *    into the exact join anyway, so the Bloom can only ADD its build
-    *    pass: bloom ≥ plain is the EXPECTED result, recorded to pin where
-    *    the operator does NOT pay (pick the plain stored-gram path there).
+    *    corpus grown. Here both paths pay the same dominant cost (shingle
+    *    + distinct over every train gram) and the eval join is tiny, so
+    *    the Bloom can only ADD its per-call build pass: bloom ≥ plain is
+    *    the EXPECTED result, recorded to pin where the operator does NOT
+    *    pay (pick the plain stored-gram path there).
     *
     * B. The decontamination sweep — reference-gram table FIXED (250k
     *    reference docs ⇒ ~8M distinct hashed grams), corpus being checked
