@@ -122,6 +122,36 @@ object EmbedScale {
       hist.map { case (c, k) => s"$c:$k" }.mkString(" "))
     println(f"EMBEDSCALE ivf_balance cells=${counts.length} mean=$mean%.0f " +
       f"max=${counts.max} max_over_mean=${counts.max / mean}%.2f")
+
+    // operating-point curves at the largest size: recall@5 vs the index
+    // knobs, against the exact cosineTopK ground truth — the knee a
+    // production caller reads to trade scanned volume for recall (the
+    // OpsSpec gates pin single points; this records the curve). Queries
+    // are vec_id < 8: a mix of near-dup cluster members (the LSH regime)
+    // and unique isotropic vectors (the IVF regime).
+    big.cache(); big.count()
+    def sets(df: DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+    val exact = sets(TrainingOps.cosineTopK(spark, big))
+    def recall(approx: Map[Long, Set[Long]]): Double = {
+      val per = exact.toSeq.map { case (q, e) =>
+        approx.getOrElse(q, Set.empty[Long]).intersect(e).size.toDouble / e.size }
+      per.sum / per.size
+    }
+    for (nProbe <- 1 to 8) {
+      val r = recall(sets(TrainingOps.annIvfTopK(spark, big, nCells = 16, nProbe = nProbe)))
+      println(f"EMBEDCURVE ivf n=${sizes.last}%d nCells=16 nProbe=$nProbe%d " +
+        f"recall_at_5=$r%.3f scan_frac=${nProbe / 16.0}%.3f")
+    }
+    for (np <- Seq(8, 12, 16); ph <- 0 to 2) {
+      val r = recall(sets(TrainingOps.annLshTopK(spark, big, nPlanes = np,
+        probeHamming = ph)))
+      println(f"EMBEDCURVE lsh n=${sizes.last}%d nPlanes=$np%d probeHamming=$ph%d " +
+        f"recall_at_5=$r%.3f")
+    }
+    big.unpersist()
     spark.stop()
   }
 }
