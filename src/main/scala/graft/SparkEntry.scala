@@ -829,6 +829,24 @@ object SparkEntry {
     // shard-local rank — no global sort)
     "ta_epoch_shuffle" -> ((s, d) => TrainingOps.epochShuffle(s, t(s, d, "documents"))
       .orderBy(col("epoch"), col("shard"), col("ord"))),
+    // cross-doc exact substring dedup (Lee et al. 2022): per-doc duplicated
+    // token mass from ≥2-doc n-token windows, min-doc_id canonical copy
+    // exempt; flag is an exact integer ≥20% comparison
+    "dd_substring_stats" -> ((s, d) =>
+      TrainingOps.substringDupStats(s, t(s, d, "documents")).orderBy(col("doc_id"))),
+    // DSIR importance weights (Xie et al. 2023): hashed-unigram log
+    // likelihood ratio vs the src0 slice as the target distribution
+    "ta_dsir_weights" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TrainingOps.dsirWeights(s, docs, docs.where(col("source") === "src0"))
+        .orderBy(col("doc_id"))
+    }),
+    // tokenizer training faces (Sennrich et al. 2016): first-iteration BPE
+    // pair statistics (top-k is semantic — TakeOrderedAndProject), and the
+    // 4-step greedy merge loop's merge table
+    "ta_bpe_pairs" -> ((s, d) => TrainingOps.bpePairCounts(s, t(s, d, "documents"))),
+    "ta_bpe_merges" -> ((s, d) => TrainingOps.bpeMerges(s, t(s, d, "documents"))
+      .orderBy(col("iter"))),
 
     // ------------------------- curation funnel (extract → filter → dedup)
     // all stage counts in ONE conditional-aggregation scan of the extraction
@@ -1668,6 +1686,121 @@ object SparkEntry {
         |  floor(pow(CAST(n_tokens AS DOUBLE), CAST(0.5 AS DOUBLE)) / z.z
         |    * 10000 + 0.5) / 10000 AS weight
         |FROM per, z ORDER BY source""".stripMargin,
+    // substring-dedup replay: positional 8-token windows (1-based here,
+    // 0-based in the engine — the covered-position COUNT is offset-
+    // invariant), duplicated = ≥2 distinct docs, canonical = min doc_id,
+    // covered positions counted DISTINCT; flag is the exact integer
+    // n_dup_tok*5 >= n_tok comparison (no float near the threshold)
+    "dd_substring_stats" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents),
+        |occ AS (
+        |  SELECT doc_id, i AS pos, array_to_string(ws[i:i+7], ' ') AS g
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i
+        |        FROM w WHERE len(ws) >= 8)),
+        |dup AS (SELECT g, min(doc_id) AS w_min FROM occ
+        |        GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, pos + j AS p FROM (
+        |    SELECT o.doc_id, o.pos, unnest(generate_series(0, 7)) AS j
+        |    FROM occ o JOIN dup d ON o.g = d.g WHERE o.doc_id <> d.w_min)),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_tok FROM cov GROUP BY doc_id),
+        |tot AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tok FROM w)
+        |SELECT t.doc_id, t.n_tok, coalesce(c.n_dup_tok, 0) AS n_dup_tok,
+        |  floor(CAST(coalesce(c.n_dup_tok, 0) AS DOUBLE) / greatest(t.n_tok, 1)
+        |    * 10000 + 0.5) / 10000 AS dup_ratio,
+        |  (coalesce(c.n_dup_tok, 0) * 5 >= t.n_tok
+        |    AND coalesce(c.n_dup_tok, 0) > 0) AS flagged
+        |FROM tot t LEFT JOIN cnt c ON t.doc_id = c.doc_id ORDER BY t.doc_id""".stripMargin,
+    // DSIR replay: per-token FNV-1a64 HUGEINT fold (the ta_split_counts
+    // pattern applied per token) → signed-pmod bucket, Laplace-smoothed
+    // log-likelihood-ratio per bucket, Σ count·dlog per doc, 4dp quantized
+    "ta_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents),
+        |hb AS (
+        |  SELECT doc_id, ((CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+        |      THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) % 4096)
+        |    + 4096) % 4096 AS b
+        |  FROM (SELECT doc_id, list_reduce(
+        |      list_prepend(14695981039346656037::HUGEINT,
+        |        [unicode(tok[i])::HUGEINT for i in generate_series(1, length(tok))]),
+        |      (a, x) -> (xor(a, x) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+        |    ) AS hu FROM toks)),
+        |docb AS (SELECT doc_id, b, count(*) AS c FROM hb GROUP BY doc_id, b),
+        |raw AS (SELECT b, sum(c) AS rc FROM docb GROUP BY b),
+        |tgt AS (SELECT h.b, count(*) AS tc FROM hb h JOIN documents d ON h.doc_id = d.doc_id
+        |        WHERE d.source = 'src0' GROUP BY h.b),
+        |rt AS (SELECT CAST(sum(rc) AS BIGINT) AS rt FROM raw),
+        |tt AS (SELECT CAST(sum(tc) AS BIGINT) AS tt FROM tgt),
+        |dist AS (
+        |  SELECT coalesce(raw.b, tgt.b) AS b,
+        |    ln(CAST(coalesce(tc, 0) + 1 AS DOUBLE) / (tt.tt + 4096))
+        |      - ln(CAST(coalesce(rc, 0) + 1 AS DOUBLE) / (rt.rt + 4096)) AS dlog
+        |  FROM raw FULL JOIN tgt ON raw.b = tgt.b, rt, tt),
+        |sc AS (SELECT docb.doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+        |    floor(sum(c * dlog) * 10000 + 0.5) / 10000 AS log_w
+        |  FROM docb JOIN dist ON docb.b = dist.b GROUP BY docb.doc_id)
+        |SELECT d.doc_id, coalesce(sc.n_tok, 0) AS n_tok,
+        |  coalesce(sc.log_w, 0.0) AS log_w, coalesce(sc.log_w, 0.0) > 0 AS keep
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN sc ON d.doc_id = sc.doc_id ORDER BY d.doc_id""".stripMargin,
+    // BPE pair replay: corpus → distinct-word vocab with frequencies,
+    // adjacent character pairs weighted by word freq, top-20 count-desc
+    // with (l, r) ascending tie-break
+    "ta_bpe_pairs" ->
+      """WITH wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS w FROM documents)
+        |  GROUP BY w),
+        |p AS (SELECT w[i:i] AS l, w[i+1:i+1] AS r, freq
+        |  FROM (SELECT w, freq, unnest(generate_series(1, length(w) - 1)) AS i
+        |        FROM wf WHERE length(w) >= 2))
+        |SELECT l, r, CAST(sum(freq) AS BIGINT) AS n
+        |FROM p GROUP BY l, r ORDER BY n DESC, l, r LIMIT 20""".stripMargin,
+    // BPE merge-loop replay, 4 unrolled levels: words encoded as
+    // symbol+U+0001 strings (every symbol FOLLOWED by the separator, so a
+    // left-to-right non-overlapping replace IS the greedy merge), each
+    // level = pair-count agg → 1-row argmax (ties (l,r) asc) → replace
+    "ta_bpe_merges" ->
+      """WITH v1 AS (SELECT array_to_string(
+        |      [w[i:i] || chr(1) for i in generate_series(1, length(w))], '') AS enc, freq
+        |  FROM (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+        |      SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS w FROM documents)
+        |    GROUP BY w)),
+        |p1 AS (SELECT syms[i] AS l, syms[i+1] AS r, freq
+        |  FROM (SELECT syms, freq, unnest(generate_series(1, len(syms) - 1)) AS i
+        |        FROM (SELECT list_filter(string_split(enc, chr(1)), x -> x <> '') AS syms,
+        |              freq FROM v1))),
+        |b1 AS (SELECT l, r, CAST(sum(freq) AS BIGINT) AS n FROM p1 GROUP BY l, r
+        |       ORDER BY n DESC, l, r LIMIT 1),
+        |v2 AS (SELECT replace(enc, b.l || chr(1) || b.r || chr(1), b.l || b.r || chr(1)) AS enc,
+        |       freq FROM v1, b1 b),
+        |p2 AS (SELECT syms[i] AS l, syms[i+1] AS r, freq
+        |  FROM (SELECT syms, freq, unnest(generate_series(1, len(syms) - 1)) AS i
+        |        FROM (SELECT list_filter(string_split(enc, chr(1)), x -> x <> '') AS syms,
+        |              freq FROM v2))),
+        |b2 AS (SELECT l, r, CAST(sum(freq) AS BIGINT) AS n FROM p2 GROUP BY l, r
+        |       ORDER BY n DESC, l, r LIMIT 1),
+        |v3 AS (SELECT replace(enc, b.l || chr(1) || b.r || chr(1), b.l || b.r || chr(1)) AS enc,
+        |       freq FROM v2, b2 b),
+        |p3 AS (SELECT syms[i] AS l, syms[i+1] AS r, freq
+        |  FROM (SELECT syms, freq, unnest(generate_series(1, len(syms) - 1)) AS i
+        |        FROM (SELECT list_filter(string_split(enc, chr(1)), x -> x <> '') AS syms,
+        |              freq FROM v3))),
+        |b3 AS (SELECT l, r, CAST(sum(freq) AS BIGINT) AS n FROM p3 GROUP BY l, r
+        |       ORDER BY n DESC, l, r LIMIT 1),
+        |v4 AS (SELECT replace(enc, b.l || chr(1) || b.r || chr(1), b.l || b.r || chr(1)) AS enc,
+        |       freq FROM v3, b3 b),
+        |p4 AS (SELECT syms[i] AS l, syms[i+1] AS r, freq
+        |  FROM (SELECT syms, freq, unnest(generate_series(1, len(syms) - 1)) AS i
+        |        FROM (SELECT list_filter(string_split(enc, chr(1)), x -> x <> '') AS syms,
+        |              freq FROM v4))),
+        |b4 AS (SELECT l, r, CAST(sum(freq) AS BIGINT) AS n FROM p4 GROUP BY l, r
+        |       ORDER BY n DESC, l, r LIMIT 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS INTEGER) AS iter, l, r, n FROM b1
+        |  UNION ALL SELECT CAST(2 AS INTEGER), l, r, n FROM b2
+        |  UNION ALL SELECT CAST(3 AS INTEGER), l, r, n FROM b3
+        |  UNION ALL SELECT CAST(4 AS INTEGER), l, r, n FROM b4)
+        |ORDER BY iter""".stripMargin,
     // contamination replay: the gram set per doc (DISTINCT ≡ the engine's
     // Set-valued shingles, incl. the <n-word whole-text fallback), train
     // side reduced to DISTINCT grams before the join (fan-out 1 per gram)

@@ -1493,4 +1493,236 @@ object TrainingOps {
         (floor(pow(col("n_tokens").cast("double"), lit(temperature)) / col("z")
           * 1e4 + 0.5) / 1e4).as("weight"))
   }
+
+  // --------------------------------- cross-doc substring dedup (T34)
+
+  /** Cross-document exact substring duplication — the training-data
+    * substring dedup of Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better", arXiv:2107.06499) re-shaped for a
+    * distributed engine. The reference builds ONE global suffix array,
+    * which is inherently single-machine (O(corpus) contiguous RAM); the
+    * distributed equivalent makes the decision per fixed-length window:
+    * every n-token sliding window (stride 1, positions kept) is an
+    * occurrence row; a window occurring in ≥ 2 distinct documents is
+    * duplicated text; its canonical home is the minimum doc_id containing
+    * it (the dedup family's min-survivor rule); and every token position
+    * it covers in a NON-canonical document counts as duplicate content.
+    * Output per document: token total, duplicated-token count (distinct
+    * covered positions), their 4-dp ratio, and the removal flag — flagged
+    * iff n_dup_tok·flagDen ≥ n_tok·flagNum, an exact INTEGER comparison
+    * (no float near the threshold; default 1/5 = the 20 % duplicate-mass
+    * cut).
+    *
+    * Scale shape: the occurrence stream is corpus-token-sized (the same
+    * volume [[contaminationCheck]] shingles); duplicated windows come
+    * from ONE hash aggregation to the DISTINCT-window table (min doc_id +
+    * distinct-doc count); the occurrence⋈dup join then has fan-out
+    * EXACTLY 1 per occurrence because the dup table is distinct on the
+    * window. Nothing is quadratic anywhere: a boilerplate window
+    * occurring in a million documents costs one row per occurrence —
+    * contrast [[ngramJaccardPairs]], whose posting lists go Σ df² on
+    * exactly that input — so this needs no df cap at all. `hashWindows`
+    * shuffles 8-byte FNV-1a64 longs instead of ~50 B window strings (the
+    * [[contaminationCheck]] hashGrams doctrine; OpsSpec pins row parity;
+    * the string form is the DuckDB oracle face). */
+  def substringDupStats(spark: SparkSession, docs: DataFrame, n: Int = 8,
+      flagNum: Int = 1, flagDen: Int = 5,
+      hashWindows: Boolean = false): DataFrame = {
+    import spark.implicits._
+    require(n >= 2 && flagNum > 0 && flagDen > 0)
+    val toks = docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+    val occ =
+      if (hashWindows)
+        toks.flatMap { case (id, text) =>
+            val t = tokens(text)
+            if (t.length < n) Iterator.empty
+            else t.sliding(n).zipWithIndex.map { case (w, i) =>
+              (id, i, fnv1a64(w.mkString(" "))) } }
+          .toDF("doc_id", "pos", "g")
+      else
+        toks.flatMap { case (id, text) =>
+            val t = tokens(text)
+            if (t.length < n) Iterator.empty
+            else t.sliding(n).zipWithIndex.map { case (w, i) =>
+              (id, i, w.mkString(" ")) } }
+          .toDF("doc_id", "pos", "g")
+    val dup = occ.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("w_min"), countDistinct(col("doc_id")).as("w_docs"))
+      .where(col("w_docs") >= 2)
+      .select(col("g"), col("w_min"))
+    val covered = occ.join(dup, Seq("g"))
+      .where(col("doc_id") =!= col("w_min"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_tok"))
+    // token totals via the codegen'd regexp count (the sourceMixWeights
+    // idiom — counts non-space runs, identical to tokens().length), so the
+    // totals branch is a narrow column scan, not a second typed kernel.
+    // The occurrence flatMap itself feeds two consumers (dup agg + join);
+    // a repeated-sweep caller materializes it once through TableIO, the
+    // stored-signature doctrine.
+    val totals = docs.select(col("doc_id").cast("long").as("doc_id"),
+      size(regexp_extract_all(col("text"), lit("""\S+"""), lit(0)))
+        .cast("long").as("n_tok"))
+    totals.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_dup_tok"), lit(0L)).as("n_dup_tok"))
+      .select(col("doc_id"), col("n_tok"), col("n_dup_tok"),
+        (floor(col("n_dup_tok").cast("double") / greatest(col("n_tok"), lit(1L))
+          * 1e4 + 0.5) / 1e4).as("dup_ratio"),
+        (col("n_dup_tok") * flagDen >= col("n_tok") * flagNum &&
+          col("n_dup_tok") > 0).as("flagged"))
+  }
+
+  // ------------------------------------ DSIR importance weights (T35)
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169): score
+    * each document by how much likelier its hashed-unigram bag is under a
+    * TARGET corpus' feature distribution than under the raw corpus' own —
+    * log w(d) = Σ_f c_f(d)·(log p̂_tgt(f) − log p̂_raw(f)), both
+    * distributions Laplace-smoothed over `buckets` hashed features
+    * (feature = pmod(fnv1a64(token), buckets), the paper's hashed n-gram
+    * generative model at n = 1). DSIR proper then Gumbel-samples; the
+    * engine's no-RNG invariant replaces that with the deterministic
+    * selection face `keep = log_w > 0` (more target-like than raw) —
+    * rank-k selection composes on top of the returned score.
+    *
+    * Scale shape: per-document features pre-aggregate to (doc_id, bucket,
+    * count) — fan-out 1 per doc-bucket, the [[unigramLogProb]] doctrine —
+    * and BOTH distributions are ≤ buckets-row aggregates (map-side
+    * partial agg) joined BROADCAST, so the plan is one corpus scan + one
+    * bucketed shuffle regardless of corpus size; the target is typically
+    * a small curated slice costing one scan of itself. Like
+    * [[sourceMixWeights]], the log-sum is genuinely floating-point;
+    * 4-decimal floor-half-up quantization narrows (not eliminates)
+    * cross-engine boundary risk. */
+  def dsirWeights(spark: SparkSession, docs: DataFrame, target: DataFrame,
+      buckets: Int = 4096): DataFrame = {
+    require(buckets > 0)
+    graft.functions.Fnv1a64Expr.register(spark)
+    def bucketed(d: DataFrame): DataFrame = d
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .where(col("tok") =!= "")
+      .select(col("doc_id"), pmod(expr("fnv1a64(tok)"), lit(buckets.toLong)).as("b"))
+    val docB = bucketed(docs).groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    // raw distribution re-aggregates docB (same first-stage shuffle as the
+    // scoring branch — AQE exchange reuse serves the scan+explode once)
+    val rawDist = docB.groupBy(col("b")).agg(sum(col("c")).as("rc"))
+    val tgtDist = bucketed(target).groupBy(col("b")).agg(count(lit(1)).as("tc"))
+    val rawTot = rawDist.agg(sum(col("rc")).as("rt"))
+    val tgtTot = tgtDist.agg(sum(col("tc")).as("tt"))
+    val dist = rawDist.join(tgtDist, Seq("b"), "full")
+      .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tgtTot))
+      .select(col("b"),
+        (log((coalesce(col("tc"), lit(0L)) + 1).cast("double") /
+            (col("tt") + buckets).cast("double")) -
+         log((coalesce(col("rc"), lit(0L)) + 1).cast("double") /
+            (col("rt") + buckets).cast("double"))).as("dlog"))
+    val scored = docB.join(broadcast(dist), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_tok"),
+        (floor(sum(col("c") * col("dlog")) * 1e4 + 0.5) / 1e4).as("log_w"))
+    docs.select(col("doc_id").cast("long").as("doc_id")).distinct()
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        coalesce(col("log_w"), lit(0.0)).as("log_w"))
+      .withColumn("keep", col("log_w") > 0)
+  }
+
+  // ----------------------------------------- BPE pair statistics (T36)
+
+  /** First-iteration BPE pair statistics (Sennrich et al. 2016, "Neural
+    * Machine Translation of Rare Words with Subword Units",
+    * arXiv:1508.07909 — the tokenizer-training staple): adjacent
+    * character-pair counts over the corpus weighted by word frequency,
+    * top-k by count (ties broken pair-ascending) — the statistic the
+    * first merge decision reads. Scale shape: ONE groupBy compresses the
+    * corpus to its distinct-word vocabulary (Zipf: vocab ≪ corpus tokens)
+    * BEFORE any pair generation; pair rows are Σ_vocab(|w|−1),
+    * independent of corpus size; the top-k is TakeOrderedAndProject (k
+    * rows ever collected — the [[vocabTopK]] shape, so the limit is part
+    * of the semantics, not presentation). */
+  def bpePairCounts(spark: SparkSession, docs: DataFrame, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val vocab = docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+    vocab.flatMap { case (w, f) =>
+        (0 until w.length - 1).iterator.map(i =>
+          (w.substring(i, i + 1), w.substring(i + 1, i + 2), f)) }
+      .toDF("l", "r", "freq")
+      .groupBy(col("l"), col("r"))
+      .agg(sum(col("freq")).cast("long").as("n"))
+      .orderBy(col("n").desc, col("l"), col("r"))
+      .limit(k)
+  }
+
+  /** Greedy BPE merge loop — `nMerges` iterations of (count adjacent
+    * symbol pairs over the vocabulary → pick the max-count pair, ties
+    * broken pair-ascending → merge it left-to-right non-overlapping in
+    * every word). Returns the merge table (iter, l, r, n) — the actual
+    * artifact a BPE tokenizer trains.
+    *
+    * Scale shape: after the initial corpus→vocabulary aggregation every
+    * iteration touches only the DISTINCT-word table (vocab-sized — the
+    * Lloyd's-iteration posture of [[lloydCentroids]]): one pair-count agg
+    * + a 1-row TakeOrderedAndProject collect per iteration (the only
+    * driver-side data is the winning pair), then a narrow map applies the
+    * merge. Each round persists the new vocabulary and unpersists the
+    * previous one, so the plan stays constant-size at any merge count.
+    *
+    * Words are encoded as symbol strings with every symbol FOLLOWED by a
+    * U+0001 separator ("ab" → "a␁b␁"): on that encoding left-to-right
+    * non-overlapping string replace of "l␁r␁" with "lr␁" is EXACTLY the
+    * greedy BPE merge ([a,b,a,b] merges both occurrences because each
+    * match ends at a symbol boundary the next match starts from — a
+    * separator BETWEEN symbols would consume the shared boundary and skip
+    * the second occurrence). */
+  def bpeMerges(spark: SparkSession, docs: DataFrame, nMerges: Int = 4): DataFrame = {
+    import spark.implicits._
+    require(nMerges >= 1)
+    val Sep = "\u0001"
+    var vocab = docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+      .map { case (w, f) => (w.map(c => s"$c$Sep").mkString, f) }
+      .persist()
+    vocab.count() // materialize before the loop reads it twice per round
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    try {
+      var it = 1
+      var continue = true
+      while (it <= nMerges && continue) {
+        val best = vocab.flatMap { case (enc, f) =>
+            val syms = enc.split(Sep)
+            (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1), f)) }
+          .toDF("l", "r", "freq")
+          .groupBy(col("l"), col("r")).agg(sum(col("freq")).cast("long").as("n"))
+          .orderBy(col("n").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (best.isEmpty) continue = false
+        else {
+          val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          merges += ((it, l, r, cnt))
+          val prev = vocab
+          vocab = vocab.map { case (enc, f) =>
+              (enc.replace(s"$l$Sep$r$Sep", s"$l$r$Sep"), f) }
+            .persist()
+          vocab.count()
+          prev.unpersist()
+          it += 1
+        }
+      }
+    } finally vocab.unpersist()
+    spark.createDataFrame(merges.toSeq).toDF("iter", "l", "r", "n")
+  }
 }

@@ -1044,4 +1044,78 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(0L) == "en" && out(2L) == "es")
     assert(out(3L) == "und" || out(3L) == "en") // 'here' has no markers; 'banana…' none either
   }
+
+  // --------------------------------------- cross-doc substring dedup (T34)
+  test("substringDupStats: hand case — canonical exempt, covered positions distinct") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d e"), // canonical home of both shared windows
+      (1L, "a b c d x"), // shares "a b c"@0 and "b c d"@1 → covers pos 0..3
+      (2L, "z z z")      // windows unique (single doc) → clean
+    ).toDF("doc_id", "text")
+    val out = TrainingOps.substringDupStats(spark, docs, n = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))).toMap
+    assert(out(0L) == ((5L, 0L, 0.0, false)), "min-doc_id copy keeps its text")
+    // overlapping windows cover {0,1,2} ∪ {1,2,3} = 4 DISTINCT positions
+    assert(out(1L) == ((5L, 4L, 0.8, true)))
+    assert(out(2L) == ((3L, 0L, 0.0, false)), "intra-doc repetition is not cross-doc dup")
+  }
+
+  test("substringDupStats: exact dup fully covered at default n; flag is ≥20% integer compare") {
+    val out = TrainingOps.substringDupStats(spark, docsDf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(4)))).toMap
+    assert(out(0L) == ((0L, false)), "doc 0 is the canonical copy")
+    assert(out(4L) == ((9L, true)), "exact dup of doc 0: all 9 tokens covered")
+    // doc 1 shares exactly the 8-token prefix window with docs 0/4
+    assert(out(1L) == ((8L, true)))
+    assert(out(2L) == ((0L, false)) && out(3L) == ((0L, false)))
+  }
+
+  test("substringDupStats: hashed windows are row-identical to string windows") {
+    val a = TrainingOps.substringDupStats(spark, docsDf).orderBy("doc_id").collect().toSeq
+    val b = TrainingOps.substringDupStats(spark, docsDf, hashWindows = true)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  // --------------------------------------------- DSIR importance weights (T35)
+  test("dsirWeights: target-like docs outscore off-target; identical texts tie; empty doc zero") {
+    import spark.implicits._
+    val docs = docsDf.union(Seq((9L, "", "en", "src2")).toDF(
+      "doc_id", "text", "lang", "source").withColumn("n_chars", lit(0L))
+      .select(docsDf.columns.map(col): _*))
+    val out = TrainingOps.dsirWeights(spark, docs,
+        docs.where(col("source") === "src0")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out.size == 6)
+    // doc 4 is an exact text dup of doc 0 — identical feature bag, identical score
+    assert(out(4L)._2 == out(0L)._2)
+    // doc 2 IS in the target slice; doc 3 shares no tokens with it
+    assert(out(2L)._2 > out(3L)._2)
+    assert(out(9L) == ((0L, 0.0, false)), "token-less doc scores 0, not kept")
+    // keep is exactly the sign of the quantized score
+    out.values.foreach { case (_, w, k) => assert(k == (w > 0)) }
+  }
+
+  // ------------------------------------------------ BPE tokenizer faces (T36)
+  test("bpePairCounts: frequency-weighted adjacent pairs, count-desc (l,r)-asc") {
+    import spark.implicits._
+    val docs = Seq((0L, "aa ab"), (1L, "aa")).toDF("doc_id", "text")
+    val out = TrainingOps.bpePairCounts(spark, docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq(("a", "a", 2L), ("a", "b", 1L)))
+  }
+
+  test("bpeMerges: greedy loop merges consecutive occurrences and stops when dry") {
+    import spark.implicits._
+    val docs = Seq((0L, "abab cd"), (1L, "abab")).toDF("doc_id", "text")
+    val out = TrainingOps.bpeMerges(spark, docs, nMerges = 5).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      .sortBy(_._1)
+    // iter 1: (a,b) at 2 positions × freq 2 = 4 — and the merge must take
+    // BOTH occurrences in a single word (the symbol+separator encoding)
+    // iter 2: (ab,ab) = 2; iter 3: (c,d) = 1; iter 4: vocabulary is dry
+    assert(out == Seq((1, "a", "b", 4L), (2, "ab", "ab", 2L), (3, "c", "d", 1L)))
+  }
 }
