@@ -10,7 +10,7 @@ package graft
   * already-oracled sim_cosine_topk uses. Split out of SparkEntry for
   * readability; merged into `SparkEntry.oracleSql`. */
 object OracleAnn {
-  val entries: Map[String, String] = Map(
+  private val base: Map[String, String] = Map(
     "sim_ann_lsh" ->
       """WITH 
         |pd AS (SELECT p, d, CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR) AS s
@@ -225,4 +225,25 @@ object OracleAnn {
         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
         |  floor(CAST(sim AS DOUBLE) * 10000 + 0.5) / 10000 AS sim
         |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+
+  /** The IVF oracle's k-means prefix — everything up to the converged cell
+    * assignment `asg_f` — sliced out of the literal above so the two
+    * k-means consumers (sim_ann_ivf, dd_semantic_pairs) replay ONE centroid
+    * definition that cannot drift. The require fails loudly at class init
+    * (⇒ every test) if an edit moves the anchor. */
+  private val lloydAsgF: String = {
+    val ivf = base("sim_ann_ivf")
+    val cut = ivf.indexOf(",\nprobes AS (")
+    require(cut > 0, "sim_ann_ivf oracle lost its 'probes AS (' anchor")
+    ivf.substring(0, cut)
+  }
+
+  val entries: Map[String, String] = base + ("dd_semantic_pairs" ->
+    (lloydAsgF + """
+      |SELECT cell, vec_a, vec_b, sim FROM (
+      | SELECT a.cell AS cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  floor(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE)
+      |    * 10000 + 0.5) / 10000 AS sim
+      | FROM asg_f a JOIN asg_f b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+      |WHERE sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin))
 }

@@ -643,6 +643,12 @@ object SparkEntry {
       .orderBy(col("vec_a"), col("vec_b"))),
     "dd_embed_lsh" -> ((s, d) => TrainingOps.embedCosinePairsLsh(s, t(s, d, "embeddings"), minSim = 0.4)
       .orderBy(col("vec_a"), col("vec_b"))),
+    // SemDeDup (T37): pairs compared only within a Lloyd k-means cell —
+    // the pair cost bends from n² to Σ cell² ≈ n²/nCells; the oracle
+    // replays the exact fixed-point k-means (sim_ann_ivf's CTEs) plus the
+    // within-cell pair join
+    "dd_semantic_pairs" -> ((s, d) => TrainingOps.semanticDupPairs(s, t(s, d, "embeddings"), minSim = 0.4)
+      .orderBy(col("vec_a"), col("vec_b"))),
 
     // ------------------------------------------- similarity search (ANN)
     "sim_cosine_topk" -> ((s, d) => TrainingOps.cosineTopK(s, t(s, d, "embeddings"))

@@ -936,6 +936,58 @@ object TrainingOps {
         (floor(col("sim") * 1e4 + 0.5) / 1e4).as("sim"))
   }
 
+  // ------------------------------------------------ semantic dedup (T37)
+
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): cluster the embedding space with
+    * the deterministic [[lloydCentroids]] k-means, then compare pairs
+    * ONLY within a cluster — within-cell cosine ≥ `minSim` (compared on
+    * the 4-dp-quantized value, the embed-family convention) is a
+    * semantic duplicate pair. Downstream keep-one-per-group resolution is
+    * [[connectedComponents]], which is pair-family agnostic.
+    *
+    * Scale shape — the paper's own posture, with this engine's caps: the
+    * within-cluster pairwise cost is (n/nCells)² per cell, so nCells
+    * scales with the corpus (the k-means analog of the EmbedScale
+    * nPlanes ≳ log₂(n/cap) rule) and `maxCell` hot-cell-caps the one
+    * cell a mega-cluster of identical embeddings fills
+    * ([[dropHotGroups]]; exact drop audit via [[hotGroupDropCount]] on
+    * the assignment). Cell assignment is a narrow typed map over the
+    * broadcast centroid array (zero shuffle, the [[annIvfTopK]] shape);
+    * the pair join is a self-equi-join on the cell key; cosine is the
+    * codegen'd [[graft.functions.CosineSimExpr]]. */
+  def semanticDupPairs(spark: SparkSession, emb: DataFrame,
+      nCells: Int = 16, iters: Int = 3, minSim: Double = 0.4,
+      maxCell: Int = Int.MaxValue): DataFrame = {
+    graft.functions.CosineSimExpr.register(spark)
+    val assigned = semanticCells(spark, emb, nCells, iters)
+    val capped = if (maxCell == Int.MaxValue) assigned
+      else dropHotGroups(assigned, Seq("cell"), maxCell)
+    val a = capped.select(col("cell"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"))
+    val b = capped.select(col("cell"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"))
+    a.join(b, Seq("cell")).where(col("vec_a") < col("vec_b"))
+      .select(col("cell"), col("vec_a"), col("vec_b"),
+        (floor(cosine(col("ea"), col("eb")) * 1e4 + 0.5) / 1e4).as("sim"))
+      .where(col("sim") >= minSim)
+  }
+
+  /** The semantic-dedup cell assignment (vec_id, embedding, cell) —
+    * exposed so a capped [[semanticDupPairs]] run can be audited exactly:
+    * `hotGroupDropCount(semanticCells(...), Seq("cell"), maxCell)` counts
+    * the cells the cap dropped (0 ⇒ capped == uncapped). */
+  def semanticCells(spark: SparkSession, emb: DataFrame,
+      nCells: Int = 16, iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val bCents = spark.sparkContext.broadcast(lloydCentroids(spark, emb, nCells, iters))
+    emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, v, nearestCell(v, bCents.value)) }
+      .toDF("vec_id", "embedding", "cell")
+  }
+
   // ----------------------------------------------------------- text stats
 
   private val langMarkers: Seq[(String, String)] = Seq(

@@ -108,6 +108,41 @@ object EmbedScale {
         s"ivf_sec_alpha=${alpha(is0, is1)} (1.0 = linear, 2.0 = quadratic)")
     }
 
+    // SemDeDup (T37) volume: pairwise cosine only WITHIN a Lloyd cell.
+    // nCells follows the √n rule (assignment costs n·nCells·d, the
+    // within-cell triangles cost n²/nCells — balanced at nCells ≈ √n, so
+    // total work grows n^1.5 instead of n²); the cap = 3× mean occupancy
+    // isolates the 5% mega-cluster's cell (n/20 members ≥ 3.9× the cap at
+    // every size) without touching ordinary cells. Every clusters-of-5
+    // member pair sits at cosine ≥ 0.99, so expected true pairs = 10·n/20
+    // = n/2 and sem_recall reads the within-cell recall of the planted
+    // near-dups directly.
+    val semRows = sizes.map { n =>
+      val emb = corpus(spark, n).cache()
+      emb.count()
+      val k = math.ceil(math.sqrt(n.toDouble)).toInt
+      val semCap = 3 * (n / k).toInt
+      val droppedCells = TrainingOps.hotGroupDropCount(
+        TrainingOps.semanticCells(spark, emb, nCells = k), Seq("cell"), semCap)
+      val (pairs, sec) = time(TrainingOps.semanticDupPairs(spark, emb,
+        nCells = k, minSim = 0.95, maxCell = semCap).count())
+      emb.unpersist()
+      println(f"SEMDEDUP n=$n%d nCells=$k cap=$semCap dropped_cells=$droppedCells " +
+        f"pairs=$pairs%d expected_true=${n / 2}%d recall=${pairs.toDouble / (n / 2)}%.3f " +
+        f"sec=$sec%.1f")
+      (n, pairs, sec)
+    }
+    if (semRows.size >= 2) {
+      val (n0, p0, s0) = semRows.head
+      val (n1, p1, s1) = semRows.last
+      val r = math.log(n1.toDouble / n0)
+      def alpha(a: Double, b: Double): String =
+        if (a <= 0 || b <= 0 || r == 0) "n/a" else f"${math.log(b / a) / r}%.2f"
+      println(s"SEMDEDUP growth n=$n0->$n1: " +
+        s"pairs_alpha=${alpha(p0.toDouble, p1.toDouble)} " +
+        s"sec_alpha=${alpha(s0, s1)} (pairs 1.0 = linear; sec model = 1.5 at nCells=√n)")
+    }
+
     // IVF cell-occupancy at the largest size: the balance evidence behind
     // the nProbe/nCells cost model (probe scans corpus·nProbe/nCells only
     // if cells are roughly even)

@@ -763,6 +763,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.map(_.getLong(2)).toSeq == (1L to r.length).toSeq) // dense ranks
   }
 
+  test("semantic dedup pairs are within-cell exact-cosine pairs; co-directional pair recalled") {
+    val exact = TrainingOps.embedCosinePairs(spark, embDf, minSim = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val sem = TrainingOps.semanticDupPairs(spark, embDf, nCells = 2, minSim = 0.9)
+      .collect().map(r => ((r.getLong(1), r.getLong(2)), r.getDouble(3))).toMap
+    assert(sem.keySet.subsetOf(exact.keySet), "within-cell pairs must be a subset of all pairs")
+    assert(sem.contains((0L, 1L)), "near-identical directions must land in the same cell")
+    sem.foreach { case (k, s) => assert(s == exact(k), s"sim mismatch at $k") }
+  }
+
+  test("semantic dedup hot-cell cap: default no-op; mega-cluster of identical embeddings dropped") {
+    val capped = TrainingOps.semanticDupPairs(spark, embDf, nCells = 2, minSim = 0.9,
+        maxCell = 3).collect().map(_.toSeq).toSet
+    val off = TrainingOps.semanticDupPairs(spark, embDf, nCells = 2, minSim = 0.9)
+      .collect().map(_.toSeq).toSet
+    assert(capped == off && capped.nonEmpty, "cap above the largest cell must be a no-op")
+
+    // 5k IDENTICAL embeddings collapse into one Lloyd cell → uncapped would
+    // enumerate 5k²/2 pairs; the cap drops the cell, and the assignment
+    // audit counts exactly that one dropped cell (same doctrine as T2/T3/T5)
+    val mega = spark.range(0, 5000)
+      .select(col("id").as("vec_id"),
+        typedLit(Array(0.5f, 0.5f, 0.5f, 0.5f)).as("embedding"))
+    assert(TrainingOps.semanticDupPairs(spark, mega, minSim = 0.9, maxCell = 100).count() == 0)
+    assert(TrainingOps.hotGroupDropCount(
+      TrainingOps.semanticCells(spark, mega), Seq("cell"), 100) == 1L)
+  }
+
   // real driver-generated embeddings (500 vecs × 64 dims) — the recall gate
   // runs against the same table the driver verifies on
   private lazy val realEmb =
