@@ -238,12 +238,33 @@ object OracleAnn {
     ivf.substring(0, cut)
   }
 
-  val entries: Map[String, String] = base + ("dd_semantic_pairs" ->
-    (lloydAsgF + """
-      |SELECT cell, vec_a, vec_b, sim FROM (
-      | SELECT a.cell AS cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
-      |  floor(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE)
-      |    * 10000 + 0.5) / 10000 AS sim
-      | FROM asg_f a JOIN asg_f b ON a.cell = b.cell AND a.vec_id < b.vec_id)
-      |WHERE sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin))
+  val entries: Map[String, String] = base ++ Map(
+    "dd_semantic_pairs" ->
+      (lloydAsgF + """
+        |SELECT cell, vec_a, vec_b, sim FROM (
+        | SELECT a.cell AS cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  floor(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE)
+        |    * 10000 + 0.5) / 10000 AS sim
+        | FROM asg_f a JOIN asg_f b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+        |WHERE sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin),
+    // the pair pipeline above + transitive closure by recursive label
+    // propagation (the dd_neardup_clusters oracle shape): component = min
+    // reachable label — exactly the engine's hooked-min CC fixpoint
+    "dd_semantic_clusters" ->
+      (lloydAsgF.replaceFirst("^WITH ", "WITH RECURSIVE ") + """,
+        |sem AS (
+        | SELECT vec_a, vec_b FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |   floor(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE)
+        |     * 10000 + 0.5) / 10000 AS sim
+        |  FROM asg_f a JOIN asg_f b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+        | WHERE sim >= 0.4),
+        |und AS (SELECT vec_a AS u, vec_b AS v FROM sem
+        |        UNION SELECT vec_b, vec_a FROM sem),
+        |reach(node, lab) AS (
+        | SELECT u, u FROM und
+        | UNION
+        | SELECT e.v, r.lab FROM reach r JOIN und e ON e.u = r.node)
+        |SELECT CAST(node AS BIGINT) AS vec_id, CAST(min(lab) AS BIGINT) AS component
+        |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin))
 }

@@ -639,6 +639,21 @@ object SparkEntry {
         .select(col("node").as("doc_id"), col("comp").as("component"))
         .orderBy(col("doc_id"))
     }),
+    // leakage-free split (T40): every near-dup component co-splits via its
+    // canonical member's content hash (pairs from the SAME marker-gated
+    // shingle store as dd_neardup_clusters); singletons = splitAssign
+    "ta_cluster_split" -> ((s, d) => {
+      val loc = graft.core.Materialize.warehousePath(s, "graft_ngram_shingles")
+      graft.core.Materialize.onceAt(s, loc, s"ngram_shingles:n3:$d") {
+        graft.core.TableIO.write(
+          TrainingOps.ngramShingles(s, t(s, d, "documents")), loc.toString)
+      }
+      TrainingOps.clusterSplit(s, t(s, d, "documents"),
+          TrainingOps.ngramJaccardFromShingles(
+            s, graft.core.TableIO.read(s, loc.toString), minJaccard = 0.5)
+            .select(col("doc_a"), col("doc_b")))
+        .orderBy(col("doc_id"))
+    }),
     "dd_embed_cosine" -> ((s, d) => TrainingOps.embedCosinePairs(s, t(s, d, "embeddings"), minSim = 0.4)
       .orderBy(col("vec_a"), col("vec_b"))),
     "dd_embed_lsh" -> ((s, d) => TrainingOps.embedCosinePairsLsh(s, t(s, d, "embeddings"), minSim = 0.4)
@@ -649,6 +664,15 @@ object SparkEntry {
     // within-cell pair join
     "dd_semantic_pairs" -> ((s, d) => TrainingOps.semanticDupPairs(s, t(s, d, "embeddings"), minSim = 0.4)
       .orderBy(col("vec_a"), col("vec_b"))),
+    // SemDeDup keep-one resolution: the semantic pair graph through the
+    // same hooked-min CC that resolves every pair family (component = min
+    // vec_id = the survivor); oracle = k-means CTEs + recursive closure
+    "dd_semantic_clusters" -> ((s, d) =>
+      TrainingOps.connectedComponents(s,
+          TrainingOps.semanticDupPairs(s, t(s, d, "embeddings"), minSim = 0.4)
+            .select(col("vec_a"), col("vec_b")))
+        .select(col("node").as("vec_id"), col("comp").as("component"))
+        .orderBy(col("vec_id"))),
 
     // ------------------------------------------- similarity search (ANN)
     "sim_cosine_topk" -> ((s, d) => TrainingOps.cosineTopK(s, t(s, d, "embeddings"))
@@ -831,6 +855,13 @@ object SparkEntry {
     // stopword ratio (integer ranks — exact cross-engine, no interpolation)
     "ta_quality_calibration" -> ((s, d) =>
       TrainingOps.qualityCalibration(t(s, d, "documents")).orderBy(col("source"))),
+    // token-budget corpus selection (T38): fill each source's 800-token
+    // slot best-quality-first — two-phase distributed prefix sum (group
+    // subtotals + broadcast group prefix; no per-source sort partition),
+    // bit-equal to the naive single-window form the oracle replays
+    "ta_budget_select" -> ((s, d) =>
+      TrainingOps.budgetSelect(t(s, d, "documents"), budgetTokens = 800)
+        .orderBy(col("doc_id"))),
     // deterministic per-epoch training order (hash-bucketed reshuffle,
     // shard-local rank — no global sort)
     "ta_epoch_shuffle" -> ((s, d) => TrainingOps.epochShuffle(s, t(s, d, "documents"))
@@ -1326,6 +1357,51 @@ object SparkEntry {
         | SELECT e.v, r.lab FROM reach r JOIN und e ON e.u = r.node)
         |SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(lab) AS BIGINT) AS component
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    // leakage-free split replay: the dd_neardup_clusters pair pipeline +
+    // closure, component rep = min doc_id (singletons their own rep), then
+    // the ta_split_counts FNV-1a64 fold over the REP's text + signed pmod
+    "ta_cluster_split" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |  ELSE list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                      for i in generate_series(1, len(t)-2)]) END) AS s
+        | FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        | FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (
+        | SELECT doc_a, doc_b FROM (
+        |  SELECT doc_a, doc_b,
+        |   floor(CAST(i AS DOUBLE) / (za.sz + zb.sz - i) * 10000 + 0.5) / 10000 AS jaccard
+        |  FROM inter JOIN sizes za ON doc_a = za.doc_id JOIN sizes zb ON doc_b = zb.doc_id)
+        | WHERE jaccard >= 0.5),
+        |und AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        |        UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(node, lab) AS (
+        | SELECT u, u FROM und
+        | UNION
+        | SELECT e.v, r.lab FROM reach r JOIN und e ON e.u = r.node),
+        |comp AS (SELECT node, min(lab) AS cmp FROM reach GROUP BY node),
+        |rp AS (SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+        |         CAST(coalesce(c.cmp, d.doc_id) AS BIGINT) AS rep
+        |       FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+        |h AS (SELECT CAST(doc_id AS BIGINT) AS rep_id, list_reduce(
+        |    list_prepend(14695981039346656037::HUGEINT,
+        |      [unicode(text[i])::HUGEINT for i in generate_series(1, length(text))]),
+        |    (a, b) -> (xor(a, b) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+        |  ) AS hu FROM documents),
+        |bk AS (SELECT rep_id, ((CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+        |    THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) % 100) + 100) % 100
+        |  AS bucket FROM h)
+        |SELECT r.doc_id, r.rep,
+        | CASE WHEN bk.bucket < 80 THEN 'train' WHEN bk.bucket < 90 THEN 'val'
+        |  ELSE 'test' END AS split
+        |FROM rp r JOIN bk ON r.rep = bk.rep_id
+        |ORDER BY r.doc_id""".stripMargin,
     "mm_meta_summary" ->
       """WITH m AS (
         | SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
@@ -1681,6 +1757,24 @@ object SparkEntry {
         |  max(CASE WHEN rn = (50*n + 99) // 100 THEN sr END) AS stop_p50,
         |  max(CASE WHEN rn = (90*n + 99) // 100 THEN sr END) AS stop_p90
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    // budget-selection replay: the naive single-window form — per-source
+    // running token sum ordered (stopword ratio DESC, doc_id), explicit
+    // ROWS frame, inclusive-cum ≤ 800 keep rule; all integer arithmetic,
+    // bit-equal to the engine's two-phase prefix sum by OpsSpec's pinning
+    "ta_budget_select" ->
+      """WITH q AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+        |  floor(CASE WHEN len(regexp_extract_all(text,'\S+')) > 0
+        |   THEN CAST(len(regexp_extract_all(lower(text),'\b(the|and|of|to|a|in|is)\b')) AS DOUBLE)
+        |        / len(regexp_extract_all(text,'\S+')) ELSE 0 END * 10000 + 0.5) / 10000 AS ratio,
+        |  CAST(len(regexp_extract_all(text,'\S+')) AS BIGINT) AS tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, ratio, tokens,
+        |  sum(tokens) OVER (PARTITION BY source ORDER BY ratio DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM q)
+        |SELECT doc_id, source, ratio, tokens,
+        |  CAST(cum AS BIGINT) AS cum_tokens, cum <= 800 AS kept
+        |FROM c ORDER BY doc_id""".stripMargin,
     // mixing-weights replay: per-source token totals, τ=0.5 power
     // normalized by the scalar sum, quantized 4dp both sides
     "ta_mix_weights" ->

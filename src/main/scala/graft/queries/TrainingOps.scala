@@ -135,6 +135,40 @@ object TrainingOps {
     docs.where(bucket < threshold)
   }
 
+  /** Leakage-free near-dup-aware split (T40). [[splitAssign]] buckets by
+    * CONTENT hash, which co-splits exact duplicates — but near-duplicates
+    * hash differently and can straddle train/test, the benchmark-leakage
+    * mode dedup-aware eval splits exist to prevent (the Lee et al. 2022
+    * finding that near-dup train/test overlap inflates eval). This face
+    * buckets every member of a near-dup-pair-graph component by its
+    * CANONICAL member's content hash (component = min doc_id, the dedup
+    * family's survivor rule; [[connectedComponents]] resolves the pair
+    * graph), so a test doc can never be a near-copy of a train doc.
+    * Singletons (no pair) fall back to their own hash — with an empty pair
+    * graph this is exactly [[splitAssign]] (pinned in OpsSpec).
+    *
+    * Scale shape: each doc's hash is computed ONCE in a narrow codegen'd
+    * scan (native fnv1a64); the component table is pair-graph-sized
+    * (≪ corpus); the rep-hash lookup is an equi-join of two (long, long)
+    * tables — fan-out 1, 16-byte rows, the text column never shuffles. */
+  def clusterSplit(spark: SparkSession, docs: DataFrame, pairs: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct + valPct < 100)
+    graft.functions.Fnv1a64Expr.register(spark)
+    val hashed = docs.select(col("doc_id").cast("long").as("doc_id"),
+      expr("fnv1a64(text)").as("h"))
+    val comp = connectedComponents(spark, pairs)
+    val withRep = hashed.join(comp, hashed("doc_id") === comp("node"), "left")
+      .select(hashed("doc_id"), coalesce(col("comp"), hashed("doc_id")).as("rep"))
+    val repHash = hashed.select(col("doc_id").as("rep"), col("h").as("rep_h"))
+    val bucket = pmod(col("rep_h"), lit(100))
+    withRep.join(repHash, Seq("rep"))
+      .select(col("doc_id"), col("rep"),
+        when(bucket < trainPct, "train")
+          .when(bucket < trainPct + valPct, "val")
+          .otherwise("test").as("split"))
+  }
+
   // ---------------------------------------------------------- minhash LSH
 
   final case class Sig(doc_id: Long, sig: Array[Int])
@@ -1544,6 +1578,75 @@ object TrainingOps {
       .select(col("source"), col("n_docs"), col("n_tokens"),
         (floor(pow(col("n_tokens").cast("double"), lit(temperature)) / col("z")
           * 1e4 + 0.5) / 1e4).as("weight"))
+  }
+
+  /** Token-budget corpus selection (T38) — the mixture-assembly step that
+    * turns scored documents into a training slice: within every source,
+    * rank documents best-first by the T10 stopword ratio (a 4-dp
+    * exact-integer ratio; doc_id ascending tie-break) and keep documents
+    * while the source's RUNNING whitespace-token total stays ≤
+    * `budgetTokens` (inclusive cumulative count) — the "fill each mixture
+    * slot to its token budget" rule of every data-mixture recipe (the
+    * Pile / Gopher sampling-table posture; pair with [[sourceMixWeights]]
+    * to derive each source's budget).
+    *
+    * Scale shape — the naive formulation is one window PARTITIONED BY
+    * SOURCE with a full per-source sort: an entire source (possibly most
+    * of a 100 TB corpus) through a single sort partition. This
+    * implementation is the classic two-phase distributed prefix sum
+    * instead: (1) per-(source, ratio) token subtotals — one hash
+    * aggregation, map-side partial — then the EXCLUSIVE group-prefix
+    * running sum over that groups table, which is parameter-bounded
+    * (≤ sources × 10⁴ distinct 4-dp ratios), windowed cheaply and
+    * broadcast back; (2) the inclusive intra-group cumulative sum, a
+    * window partitioned by (source, ratio) — a quality-slice of a source,
+    * not the source. cum = prefix + intra. Every sum is exact integer
+    * arithmetic, so the result is bit-identical to the naive window —
+    * OpsSpec pins the equivalence on a tie-heavy corpus — and the oracle
+    * replays the naive form in SQL. */
+  def budgetSelect(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0)
+    val groups = budgetBase(docs).groupBy(col("source"), col("ratio"))
+      .agg(sum(col("tokens")).as("g_tokens"))
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("ratio").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixed = groups.select(col("source"), col("ratio"),
+      coalesce(sum(col("g_tokens")).over(wSrc), lit(0L)).as("prefix"))
+    val wGrp = Window.partitionBy(col("source"), col("ratio"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    budgetBase(docs).withColumn("intra", sum(col("tokens")).over(wGrp))
+      .join(broadcast(prefixed), Seq("source", "ratio"))
+      .select(col("doc_id"), col("source"), col("ratio"), col("tokens"),
+        (col("prefix") + col("intra")).as("cum_tokens"))
+      .withColumn("kept", col("cum_tokens") <= lit(budgetTokens))
+  }
+
+  /** Single-window reference formulation of [[budgetSelect]] — the
+    * semantics definition the two-phase prefix sum must equal (and the
+    * shape the DuckDB oracle replays). Per-source sort partition ⇒ NOT the
+    * scale path; test/oracle surface only. */
+  private[graft] def budgetSelectNaive(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("ratio").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    budgetBase(docs)
+      .select(col("doc_id"), col("source"), col("ratio"), col("tokens"),
+        sum(col("tokens")).over(w).as("cum_tokens"))
+      .withColumn("kept", col("cum_tokens") <= lit(budgetTokens))
+  }
+
+  /** Shared scoring base for the budget faces: (doc_id, source, 4-dp
+    * stopword ratio, whitespace-token count) — the [[qualityScore]]
+    * stopword column plus the [[tokenCounts]] ws face, all exact-integer
+    * ratios so the two formulations and the oracle agree bit-for-bit. */
+  private def budgetBase(docs: DataFrame): DataFrame = {
+    val words = size(regexp_extract_all(col("text"), lit("""\S+"""), lit(0))).cast("double")
+    val stops = size(regexp_extract_all(lower(col("text")),
+      lit("""\b(the|and|of|to|a|in|is)\b"""), lit(0))).cast("double")
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("source"),
+      (floor(when(words > 0, stops / words).otherwise(0.0) * 1e4 + 0.5) / 1e4).as("ratio"),
+      words.cast("long").as("tokens"))
   }
 
   // --------------------------------- cross-doc substring dedup (T34)

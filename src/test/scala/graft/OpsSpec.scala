@@ -344,6 +344,26 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(big.getOrElse("val", 0L) + big.getOrElse("test", 0L) > 0)
   }
 
+  test("cluster split: near-dup components co-split by the canonical hash; empty pairs == splitAssign") {
+    import spark.implicits._
+    val plain = TrainingOps.splitAssign(spark, docsDf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // pair graph {0-1, 1-2}: all three co-split with doc 0's (canonical)
+    // content hash even though their texts hash differently
+    val pairs = Seq((0L, 1L), (1L, 2L)).toDF("doc_a", "doc_b")
+    val cs = TrainingOps.clusterSplit(spark, docsDf, pairs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getString(2)))).toMap
+    assert(Seq(0L, 1L, 2L).map(cs(_)).distinct ==
+      List((0L, plain(0L))), "component members must share the rep and its split")
+    // non-members keep their own hash's assignment
+    assert(cs(3L) == ((3L, plain(3L))) && cs(4L) == ((4L, plain(4L))))
+    // no pairs at all ⇒ exactly splitAssign
+    val none = TrainingOps.clusterSplit(spark, docsDf,
+        spark.emptyDataset[(Long, Long)].toDF("doc_a", "doc_b")).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(none == plain)
+  }
+
   test("repetition stats: hand-computed ratios, Gopher flag on the quantized value") {
     import spark.implicits._
     val docs = docsDf.select(col("doc_id"), col("text"))
@@ -632,6 +652,35 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(r.map(_._4).sum - 1.0) <= 4 * 1e-4)
   }
 
+  test("budget selection: two-phase prefix sum == naive window, ties included; inclusive keep rule") {
+    import spark.implicits._
+    // tie-heavy corpus: identical texts share a (source, ratio) group, so
+    // the budget boundary lands INSIDE a tie run — the case where a wrong
+    // frame (RANGE vs ROWS) or tie-break would diverge from the naive form
+    val docs = Seq(
+      (0L, "the a of to in is and", "s0"), // ratio 1.0, 7 tokens
+      (1L, "the a of to in is and", "s0"), // exact tie with doc 0
+      (2L, "alpha beta the gamma", "s0"),  // ratio 0.25, 4 tokens
+      (3L, "alpha beta gamma delta", "s0"),
+      (4L, "the the the", "s1"),
+      (5L, "zed", "s1"),
+      (6L, "the queue", "s1")
+    ).toDF("doc_id", "text", "source")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    for (b <- Seq(0L, 7L, 10L, 1000L))
+      assert(rows(TrainingOps.budgetSelect(docs, b)) ==
+        rows(TrainingOps.budgetSelectNaive(docs, b)), s"budget $b")
+    assert(TrainingOps.budgetSelect(docs, 1000L).collect().forall(_.getBoolean(5)))
+    assert(TrainingOps.budgetSelect(docs, 0L).collect().forall(!_.getBoolean(5)))
+    // inclusive cum ≤ budget across a tie: s0's 1.0-ratio run is docs {0,1}
+    // at 7 tokens each — budget 7 keeps the first (cum 7), drops the second
+    // (cum 14), doc_id ascending inside the tie
+    val b7 = TrainingOps.budgetSelect(docs, 7L).collect()
+      .map(r => (r.getLong(0), r.getBoolean(5))).toMap
+    assert(b7(0L) && !b7(1L))
+  }
+
   test("vocab top-k: exact counts, count-desc token-asc order, tie at the k boundary deterministic") {
     import spark.implicits._
     val docs = Seq((0L, "b b b a a c"), (1L, "A a d c")).toDF("doc_id", "text")
@@ -771,6 +820,14 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sem.keySet.subsetOf(exact.keySet), "within-cell pairs must be a subset of all pairs")
     assert(sem.contains((0L, 1L)), "near-identical directions must land in the same cell")
     sem.foreach { case (k, s) => assert(s == exact(k), s"sim mismatch at $k") }
+  }
+
+  test("semantic dedup clusters: pair graph through CC, min vec_id is the survivor label") {
+    val cc = TrainingOps.connectedComponents(spark,
+        TrainingOps.semanticDupPairs(spark, embDf, nCells = 2, minSim = 0.9)
+          .select(col("vec_a"), col("vec_b"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cc == Set((0L, 0L), (1L, 0L)))
   }
 
   test("semantic dedup hot-cell cap: default no-op; mega-cluster of identical embeddings dropped") {
