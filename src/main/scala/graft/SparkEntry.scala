@@ -884,6 +884,11 @@ object SparkEntry {
     "ta_bpe_pairs" -> ((s, d) => TrainingOps.bpePairCounts(s, t(s, d, "documents"))),
     "ta_bpe_merges" -> ((s, d) => TrainingOps.bpeMerges(s, t(s, d, "documents"))
       .orderBy(col("iter"))),
+    // the apply side (T39): per-doc model-token counts under the trained
+    // merges — the merge fold runs once per DISTINCT word (vocab-sized),
+    // joined back fan-out 1 per (doc, distinct word)
+    "ta_bpe_encode" -> ((s, d) => TrainingOps.bpeEncodeCounts(s, t(s, d, "documents"))
+      .orderBy(col("doc_id"))),
 
     // ------------------------- curation funnel (extract → filter → dedup)
     // all stage counts in ONE conditional-aggregation scan of the extraction
@@ -1901,6 +1906,57 @@ object SparkEntry {
         |  UNION ALL SELECT CAST(3 AS INTEGER), l, r, n FROM b3
         |  UNION ALL SELECT CAST(4 AS INTEGER), l, r, n FROM b4)
         |ORDER BY iter""".stripMargin,
+    // BPE apply replay: the same 4-iteration merge ladder but carrying the
+    // word through every vocab CTE; final per-word token count = symbols
+    // of the fully-merged encoding; per-doc counts join the distinct-word
+    // table (fan-out 1) — all integer sums
+    "ta_bpe_encode" ->
+      """WITH v1 AS (SELECT w, array_to_string(
+        |      [w[i:i] || chr(1) for i in generate_series(1, length(w))], '') AS enc, freq
+        |  FROM (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+        |      SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS w FROM documents)
+        |    GROUP BY w)),
+        |p1 AS (SELECT syms[i] AS l, syms[i+1] AS r, freq
+        |  FROM (SELECT syms, freq, unnest(generate_series(1, len(syms) - 1)) AS i
+        |        FROM (SELECT list_filter(string_split(enc, chr(1)), x -> x <> '') AS syms,
+        |              freq FROM v1))),
+        |b1 AS (SELECT l, r FROM p1 GROUP BY l, r
+        |       ORDER BY CAST(sum(freq) AS BIGINT) DESC, l, r LIMIT 1),
+        |v2 AS (SELECT w, replace(enc, b.l || chr(1) || b.r || chr(1), b.l || b.r || chr(1)) AS enc,
+        |       freq FROM v1, b1 b),
+        |p2 AS (SELECT syms[i] AS l, syms[i+1] AS r, freq
+        |  FROM (SELECT syms, freq, unnest(generate_series(1, len(syms) - 1)) AS i
+        |        FROM (SELECT list_filter(string_split(enc, chr(1)), x -> x <> '') AS syms,
+        |              freq FROM v2))),
+        |b2 AS (SELECT l, r FROM p2 GROUP BY l, r
+        |       ORDER BY CAST(sum(freq) AS BIGINT) DESC, l, r LIMIT 1),
+        |v3 AS (SELECT w, replace(enc, b.l || chr(1) || b.r || chr(1), b.l || b.r || chr(1)) AS enc,
+        |       freq FROM v2, b2 b),
+        |p3 AS (SELECT syms[i] AS l, syms[i+1] AS r, freq
+        |  FROM (SELECT syms, freq, unnest(generate_series(1, len(syms) - 1)) AS i
+        |        FROM (SELECT list_filter(string_split(enc, chr(1)), x -> x <> '') AS syms,
+        |              freq FROM v3))),
+        |b3 AS (SELECT l, r FROM p3 GROUP BY l, r
+        |       ORDER BY CAST(sum(freq) AS BIGINT) DESC, l, r LIMIT 1),
+        |v4 AS (SELECT w, replace(enc, b.l || chr(1) || b.r || chr(1), b.l || b.r || chr(1)) AS enc,
+        |       freq FROM v3, b3 b),
+        |p4 AS (SELECT syms[i] AS l, syms[i+1] AS r, freq
+        |  FROM (SELECT syms, freq, unnest(generate_series(1, len(syms) - 1)) AS i
+        |        FROM (SELECT list_filter(string_split(enc, chr(1)), x -> x <> '') AS syms,
+        |              freq FROM v4))),
+        |b4 AS (SELECT l, r FROM p4 GROUP BY l, r
+        |       ORDER BY CAST(sum(freq) AS BIGINT) DESC, l, r LIMIT 1),
+        |v5 AS (SELECT w, replace(enc, b.l || chr(1) || b.r || chr(1), b.l || b.r || chr(1)) AS enc
+        |       FROM v4, b4 b),
+        |wt AS (SELECT w, CAST(len(list_filter(string_split(enc, chr(1)), x -> x <> '')) AS BIGINT)
+        |       AS tok FROM v5),
+        |dw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS w FROM documents)
+        |  GROUP BY doc_id, w)
+        |SELECT CAST(dw.doc_id AS BIGINT) AS doc_id, CAST(sum(c) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(c * tok) AS BIGINT) AS bpe_tokens
+        |FROM dw JOIN wt USING (w)
+        |GROUP BY dw.doc_id ORDER BY doc_id""".stripMargin,
     // contamination replay: the gram set per doc (DISTINCT ≡ the engine's
     // Set-valued shingles, incl. the <n-word whole-text fallback), train
     // side reduced to DISTINCT grams before the join (fan-out 1 per gram)

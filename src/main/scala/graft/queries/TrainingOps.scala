@@ -1880,4 +1880,52 @@ object TrainingOps {
     } finally vocab.unpersist()
     spark.createDataFrame(merges.toSeq).toDF("iter", "l", "r", "n")
   }
+
+  // ------------------------------------------- BPE encoding at scale (T39)
+
+  /** Apply a trained merge table to one word: encode as separator-suffixed
+    * symbols, replay the merges IN TRAINING ORDER via the same
+    * left-to-right non-overlapping literal replace that defined them in
+    * [[bpeMerges]], and return the resulting symbol count. Merge order is
+    * the tokenizer contract — an earlier merge can create or destroy a
+    * later merge's match, so this is a fold, not a set lookup. */
+  private[graft] def bpeTokenCount(merges: Seq[(String, String)], w: String): Long = {
+    val Sep = "\u0001"
+    var enc = w.map(c => s"$c$Sep").mkString
+    merges.foreach { case (l, r) => enc = enc.replace(s"$l$Sep$r$Sep", s"$l$r$Sep") }
+    enc.count(_ == '\u0001').toLong
+  }
+
+  /** Corpus tokenization under the trained BPE (T39) — the apply side of
+    * [[bpeMerges]] and the expensive face of every tokenizer: per-doc
+    * whitespace-token and BPE-token counts `(doc_id, ws_tokens,
+    * bpe_tokens)`. This is what sizes sequence packing ([[sequencePack]])
+    * and token budgets ([[budgetSelect]]) in model-token units rather
+    * than whitespace units.
+    *
+    * Scale shape — the naive formulation encodes every token OCCURRENCE
+    * (100 TB of redundant merge replays). Here the merge fold runs ONCE
+    * per DISTINCT word (Zipf: vocab ≪ corpus tokens) in a vocab-sized
+    * typed map over the broadcast merge list (the merge table is
+    * tokenizer-sized — nMerges rows — the Lloyd-centroid posture); the
+    * doc side pre-aggregates to per-(doc, word) counts (the
+    * [[unigramLogProb]] idiom: the corpus-sized explode is one map-side
+    * combinable aggregation), so the vocab join fans out exactly 1 row
+    * per (doc, distinct word) and the text column never reaches the
+    * join. bpe_tokens = Σ count·tok(word), exact integer arithmetic. */
+  def bpeEncodeCounts(spark: SparkSession, docs: DataFrame, nMerges: Int = 4): DataFrame = {
+    import spark.implicits._
+    val merges = bpeMerges(spark, docs, nMerges).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val docWords = docs.select(col("doc_id").cast("long").as("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    val wordTok = docWords.select(col("w")).distinct().as[String]
+      .map(w => (w, bpeTokenCount(merges, w))).toDF("w", "tok")
+    docWords.join(wordTok, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("ws_tokens"),
+        sum(col("c") * col("tok")).cast("long").as("bpe_tokens"))
+  }
 }

@@ -1203,4 +1203,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // iter 2: (ab,ab) = 2; iter 3: (c,d) = 1; iter 4: vocabulary is dry
     assert(out == Seq((1, "a", "b", 4L), (2, "ab", "ab", 2L), (3, "c", "d", 1L)))
   }
+
+  test("bpeTokenCount: merges replay in training order, left-to-right non-overlapping") {
+    assert(TrainingOps.bpeTokenCount(Seq(), "abc") == 3L)
+    // greedy left-to-right: ababa → [ab][ab]a
+    assert(TrainingOps.bpeTokenCount(Seq(("a", "b")), "ababa") == 3L)
+    // order matters: merge 2 only exists because merge 1 ran first
+    assert(TrainingOps.bpeTokenCount(Seq(("a", "b"), ("ab", "ab")), "ababab") == 2L)
+  }
+
+  test("bpeEncodeCounts: hand-computed counts; vocab fold == per-occurrence encode") {
+    import spark.implicits._
+    val docs = Seq((0L, "abab abab cdcd"), (1L, "abab cdcd cdcd z")).toDF("doc_id", "text")
+    // 2 merges: (a,b) at 6 beats (c,d) tie-ascending, then (c,d) at 6 —
+    // abab/cdcd each encode to 2 tokens, z to 1
+    val out2 = TrainingOps.bpeEncodeCounts(spark, docs, nMerges = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out2 == Set((0L, 3L, 6L), (1L, 4L, 7L)))
+    // 4 merges collapse both words to single whole-word tokens
+    val out4 = TrainingOps.bpeEncodeCounts(spark, docs, nMerges = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(out4 == Set((0L, 3L), (1L, 4L)))
+    // the vocab-sized fold must equal the naive per-occurrence encode
+    val merges = TrainingOps.bpeMerges(spark, docsDf, nMerges = 4).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val naive = docsDf
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("w"))
+      .where(col("w") =!= "").collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) => (id, rows.length.toLong,
+        rows.map(r => TrainingOps.bpeTokenCount(merges, r.getString(1))).sum) }
+      .toSet
+    val got = TrainingOps.bpeEncodeCounts(spark, docsDf, nMerges = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == naive)
+  }
 }
