@@ -1604,9 +1604,16 @@ object TrainingOps {
     * arithmetic, so the result is bit-identical to the naive window —
     * OpsSpec pins the equivalence on a tie-heavy corpus — and the oracle
     * replays the naive form in SQL. */
-  def budgetSelect(docs: DataFrame, budgetTokens: Long): DataFrame = {
+  def budgetSelect(docs: DataFrame, budgetTokens: Long): DataFrame =
+    budgetSelectFromBase(budgetBase(docs), budgetTokens)
+
+  /** Two-phase prefix-sum body of [[budgetSelect]] over a pre-scored base
+    * `(doc_id, source, ratio, tokens)` — split out so the volume probe
+    * (`tools/BudgetScale`) can time the selection shapes against a cached
+    * base without re-paying corpus tokenization. */
+  private[graft] def budgetSelectFromBase(base: DataFrame, budgetTokens: Long): DataFrame = {
     require(budgetTokens >= 0)
-    val groups = budgetBase(docs).groupBy(col("source"), col("ratio"))
+    val groups = base.groupBy(col("source"), col("ratio"))
       .agg(sum(col("tokens")).as("g_tokens"))
     val wSrc = Window.partitionBy(col("source")).orderBy(col("ratio").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -1615,7 +1622,7 @@ object TrainingOps {
     val wGrp = Window.partitionBy(col("source"), col("ratio"))
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    budgetBase(docs).withColumn("intra", sum(col("tokens")).over(wGrp))
+    base.withColumn("intra", sum(col("tokens")).over(wGrp))
       .join(broadcast(prefixed), Seq("source", "ratio"))
       .select(col("doc_id"), col("source"), col("ratio"), col("tokens"),
         (col("prefix") + col("intra")).as("cum_tokens"))
@@ -1626,11 +1633,14 @@ object TrainingOps {
     * semantics definition the two-phase prefix sum must equal (and the
     * shape the DuckDB oracle replays). Per-source sort partition ⇒ NOT the
     * scale path; test/oracle surface only. */
-  private[graft] def budgetSelectNaive(docs: DataFrame, budgetTokens: Long): DataFrame = {
+  private[graft] def budgetSelectNaive(docs: DataFrame, budgetTokens: Long): DataFrame =
+    budgetSelectNaiveFromBase(budgetBase(docs), budgetTokens)
+
+  private[graft] def budgetSelectNaiveFromBase(base: DataFrame, budgetTokens: Long): DataFrame = {
     val w = Window.partitionBy(col("source"))
       .orderBy(col("ratio").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    budgetBase(docs)
+    base
       .select(col("doc_id"), col("source"), col("ratio"), col("tokens"),
         sum(col("tokens")).over(w).as("cum_tokens"))
       .withColumn("kept", col("cum_tokens") <= lit(budgetTokens))
@@ -1640,7 +1650,7 @@ object TrainingOps {
     * stopword ratio, whitespace-token count) — the [[qualityScore]]
     * stopword column plus the [[tokenCounts]] ws face, all exact-integer
     * ratios so the two formulations and the oracle agree bit-for-bit. */
-  private def budgetBase(docs: DataFrame): DataFrame = {
+  private[graft] def budgetBase(docs: DataFrame): DataFrame = {
     val words = size(regexp_extract_all(col("text"), lit("""\S+"""), lit(0))).cast("double")
     val stops = size(regexp_extract_all(lower(col("text")),
       lit("""\b(the|and|of|to|a|in|is)\b"""), lit(0))).cast("double")
