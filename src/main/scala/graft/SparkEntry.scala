@@ -579,6 +579,39 @@ object SparkEntry {
         s, graft.core.TableIO.read(s, loc.toString), minSim = 0.05)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
+    // incremental near-dup (T41): the daily-ingest posture — the batch
+    // (doc_id % 10 == 0) is shingled fresh and joined against the SAME
+    // marker-materialized signature store as dd_minhash_stored, filtered
+    // to the store ids (a signature depends only on its own text, so the
+    // slice of the corpus store IS the store-only signature table); the
+    // bucket join is cross-set (new ⋈ store), never store×store
+    "dd_incremental_pairs" -> ((s, d) => {
+      val loc = graft.core.Materialize.warehousePath(s, "graft_minhash_sigs")
+      graft.core.Materialize.onceAt(s, loc, s"minhash_sigs:k64:$d") {
+        graft.core.TableIO.write(
+          TrainingOps.minhashSignatures(s, t(s, d, "documents")), loc.toString)
+      }
+      val newDocs = t(s, d, "documents").where(pmod(col("doc_id"), lit(10)) === 0)
+      val store = graft.core.TableIO.read(s, loc.toString)
+        .where(pmod(col("doc_id"), lit(10)) =!= 0)
+      TrainingOps.minhashPairsAgainstStore(s,
+          TrainingOps.minhashSignatures(s, newDocs), store, minSim = 0.05)
+        .orderBy(col("doc_new"), col("doc_store"))
+    }),
+    // admission face: new-batch docs with no near-dup in the store
+    "dd_incremental_admit" -> ((s, d) => {
+      val loc = graft.core.Materialize.warehousePath(s, "graft_minhash_sigs")
+      graft.core.Materialize.onceAt(s, loc, s"minhash_sigs:k64:$d") {
+        graft.core.TableIO.write(
+          TrainingOps.minhashSignatures(s, t(s, d, "documents")), loc.toString)
+      }
+      TrainingOps.incrementalAdmit(s,
+          t(s, d, "documents").where(pmod(col("doc_id"), lit(10)) === 0),
+          graft.core.TableIO.read(s, loc.toString)
+            .where(pmod(col("doc_id"), lit(10)) =!= 0),
+          minSim = 0.05)
+        .orderBy(col("doc_id"))
+    }),
     "dd_simhash_pairs" -> ((s, d) => TrainingOps.simhashPairs(s, t(s, d, "documents"), maxHamming = 8)
       .orderBy(col("doc_a"), col("doc_b"))),
 
@@ -943,11 +976,32 @@ object SparkEntry {
   // lazy twin's oracle verbatim (appended at the end)
   def oracleSql: Map[String, String] = {
     val base = baseOracleSql
+    // the incremental faces share dd_minhash_pairs' signature-replay CTE
+    // ladder verbatim (everything before `cand AS (`); only the pair tail
+    // differs — cross-set (batch = doc_id % 10 = 0, store = rest) instead
+    // of the a<b self-join
+    val mhPairs = base("dd_minhash_pairs")
+    val mhLadder = mhPairs.substring(0, mhPairs.indexOf("cand AS ("))
+    val incCand = mhLadder +
+      """cand AS (
+        |  SELECT a.doc_id AS doc_new, b.doc_id AS doc_store,
+        |    CAST(len(list_filter(generate_series(1, 64), p -> a.sig[p] = b.sig[p])) AS DOUBLE) / 64
+        |      AS est_jaccard
+        |  FROM sig a JOIN sig b ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+        |  WHERE EXISTS (SELECT 1 FROM generate_series(0, 15) g(bd)
+        |    WHERE a.sig[4*bd+1:4*bd+4] = b.sig[4*bd+1:4*bd+4]))""".stripMargin
     base + ("dd_minhash_stored" -> base("dd_minhash_pairs")) +
       ("dd_ngram_stored" -> base("dd_ngram_jaccard")) +
       ("dd_simhash_stored" -> base("dd_simhash_pairs")) +
       ("ta_contamination_stored" -> base("ta_contamination")) +
-      ("ta_contamination_bloom" -> base("ta_contamination"))
+      ("ta_contamination_bloom" -> base("ta_contamination")) +
+      ("dd_incremental_pairs" -> (incCand + """
+        |SELECT doc_new, doc_store, est_jaccard FROM cand
+        |WHERE est_jaccard >= 0.05 ORDER BY doc_new, doc_store""".stripMargin)) +
+      ("dd_incremental_admit" -> (incCand + """
+        |SELECT doc_id FROM toks WHERE doc_id % 10 = 0
+        |  AND doc_id NOT IN (SELECT doc_new FROM cand WHERE est_jaccard >= 0.05)
+        |ORDER BY doc_id""".stripMargin))
   }
 
   private def baseOracleSql: Map[String, String] = OracleAnn.entries ++ Map(

@@ -291,6 +291,57 @@ object TrainingOps {
       .where(col("est_jaccard") >= minSim)
   }
 
+  /** Incremental near-dup detection (T41): candidate pairs between a NEW
+    * batch and the existing corpus STORE — the daily-ingest posture every
+    * production dedup actually runs (a crawl snapshot is deduped against
+    * the historical signature table, not against itself re-shingled).
+    * Returns `(doc_new, doc_store, est_jaccard)`; compose with
+    * [[incrementalAdmit]] for the admission decision.
+    *
+    * Scale shape: the store side is the materialize-once signature table
+    * ([[minhashSignatures]] written via `TableIO` — the `dd_minhash_stored`
+    * seam), so a daily run SCANS the store but only SHINGLES the batch;
+    * the bucket join is (new ⋈ store) on (band, bhash) — cross-set, never
+    * store×store, so its fan-out is bounded by the batch's bucket
+    * occupancy; each side's hot buckets are capped independently (a
+    * mega-bucket on EITHER side explodes the cross product; same
+    * [[dropHotGroups]] audit contract as [[minhashPairs]]). */
+  def minhashPairsAgainstStore(spark: SparkSession, newSigs: DataFrame,
+      storeSigs: DataFrame, k: Int = 64, bands: Int = 16, minSim: Double = 0.2,
+      maxBucket: Int = 10000): DataFrame = {
+    val bNew = bandedSignatures(spark, newSigs, k, bands)
+    val bOld = bandedSignatures(spark, storeSigs, k, bands)
+    val keptNew =
+      if (maxBucket > 0) dropHotGroups(bNew, Seq("band", "bhash"), maxBucket) else bNew
+    val keptOld =
+      if (maxBucket > 0) dropHotGroups(bOld, Seq("band", "bhash"), maxBucket) else bOld
+    val cands = keptNew.as("a").join(keptOld.as("b"),
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash"))
+      .select(col("a.doc_id").as("doc_new"), col("b.doc_id").as("doc_store"))
+      .distinct()
+    val sigN = newSigs.select(col("doc_id").cast("long").as("doc_id"), col("sig"))
+    val sigO = storeSigs.select(col("doc_id").cast("long").as("doc_id"), col("sig"))
+    cands
+      .join(sigN.as("sa"), col("doc_new") === col("sa.doc_id"))
+      .join(sigO.as("sb"), col("doc_store") === col("sb.doc_id"))
+      .select(col("doc_new"), col("doc_store"),
+        (aggregate(zip_with(col("sa.sig"), col("sb.sig"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / k).as("est_jaccard"))
+      .where(col("est_jaccard") >= minSim)
+  }
+
+  /** Admission face of [[minhashPairsAgainstStore]]: the new-batch docs
+    * with NO near-dup in the store — what actually enters the corpus. One
+    * left-anti join against the (distinct) matched new ids. */
+  def incrementalAdmit(spark: SparkSession, newDocs: DataFrame,
+      storeSigs: DataFrame, k: Int = 64, bands: Int = 16, minSim: Double = 0.2,
+      maxBucket: Int = 10000): DataFrame = {
+    val pairs = minhashPairsAgainstStore(spark,
+      minhashSignatures(spark, newDocs, k), storeSigs, k, bands, minSim, maxBucket)
+    newDocs.select(col("doc_id").cast("long").as("doc_id"))
+      .join(pairs.select(col("doc_new").as("doc_id")), Seq("doc_id"), "left_anti")
+  }
+
   // --------------------------------------------------------------- simhash
 
   /** SimHash near-dup pairs: band the 64-bit fingerprint into 4×16-bit

@@ -81,6 +81,33 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L), "unrelated doc paired")
   }
 
+  test("incremental near-dup: cross-set pairs only; admit = unmatched batch; == self-join restricted") {
+    import spark.implicits._
+    // docsDf: 0 == 4 exact dup, 0 ~ 1 near-dup, 3 unrelated. Batch = {0, 3},
+    // store = {1, 2, 4}: 0 must match store docs 4 (sig-identical) and 1.
+    val newIds = Set(0L, 3L)
+    val batch = docsDf.where(col("doc_id").isin(newIds.toSeq: _*))
+    val store = docsDf.where(!col("doc_id").isin(newIds.toSeq: _*))
+    val storeSigs = TrainingOps.minhashSignatures(spark, store)
+    val pairs = TrainingOps.minhashPairsAgainstStore(spark,
+        TrainingOps.minhashSignatures(spark, batch), storeSigs, minSim = 0.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pairs.forall(p => newIds.contains(p._1) && !newIds.contains(p._2)),
+      s"orientation broke: $pairs")
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 4L && p._3 == 1.0))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L))
+    assert(!pairs.exists(_._1 == 3L), "unrelated batch doc matched the store")
+    // cross-set slice of the full self-join == the incremental face
+    val self = TrainingOps.minhashPairs(spark, docsDf, minSim = 0.05).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => newIds.contains(p._1) != newIds.contains(p._2))
+      .map(p => if (newIds.contains(p._1)) p else (p._2, p._1, p._3)).toSet
+    assert(pairs.toSet == self)
+    val adm = TrainingOps.incrementalAdmit(spark, batch, storeSigs, minSim = 0.05)
+      .collect().map(_.getLong(0)).toSet
+    assert(adm == Set(3L))
+  }
+
   test("simhash: identical texts at hamming 0") {
     val pairs = TrainingOps.simhashPairs(spark, docsDf, maxHamming = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue)).toSeq
