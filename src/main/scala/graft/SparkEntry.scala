@@ -904,6 +904,15 @@ object SparkEntry {
     // exempt; flag is an exact integer ≥20% comparison
     "dd_substring_stats" -> ((s, d) =>
       TrainingOps.substringDupStats(s, t(s, d, "documents")).orderBy(col("doc_id"))),
+    // the removal face (T43): rewritten corpus with non-canonical
+    // duplicated-window tokens deleted (Lee et al. 2022's actual edit)
+    "dd_substring_rewrite" -> ((s, d) =>
+      TrainingOps.substringRewrite(s, t(s, d, "documents")).orderBy(col("doc_id"))),
+    // trained NB classifier (T42, fastText posture): hashed-unigram
+    // naive Bayes fit on the pmod!=0 split over the lang labels, argmax
+    // class per doc, holdout slice = honest accuracy readout
+    "ta_nb_classify" -> ((s, d) =>
+      TrainingOps.nbClassify(s, t(s, d, "documents")).orderBy(col("doc_id"))),
     // DSIR importance weights (Xie et al. 2023): hashed-unigram log
     // likelihood ratio vs the src0 slice as the target distribution
     "ta_dsir_weights" -> ((s, d) => {
@@ -1869,6 +1878,70 @@ object SparkEntry {
         |  (coalesce(c.n_dup_tok, 0) * 5 >= t.n_tok
         |    AND coalesce(c.n_dup_tok, 0) > 0) AS flagged
         |FROM tot t LEFT JOIN cnt c ON t.doc_id = c.doc_id ORDER BY t.doc_id""".stripMargin,
+    // removal-face replay: same window/dup/covered chain, then the token
+    // stream anti-joins the covered positions and reassembles via
+    // position-ordered string_agg (1-based here, 0-based in Spark — the
+    // offset is consistent within each engine so the kept set is identical)
+    "dd_substring_rewrite" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents),
+        |occ AS (
+        |  SELECT doc_id, i AS pos, array_to_string(ws[i:i+7], ' ') AS g
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i
+        |        FROM w WHERE len(ws) >= 8)),
+        |dup AS (SELECT g, min(doc_id) AS w_min FROM occ
+        |        GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, pos + j AS p FROM (
+        |    SELECT o.doc_id, o.pos, unnest(generate_series(0, 7)) AS j
+        |    FROM occ o JOIN dup d ON o.g = d.g WHERE o.doc_id <> d.w_min)),
+        |tp AS (SELECT doc_id, i AS p, ws[i] AS tok
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM w)),
+        |kept AS (SELECT tp.doc_id, tp.p, tp.tok FROM tp
+        |  ANTI JOIN cov ON tp.doc_id = cov.doc_id AND tp.p = cov.p),
+        |reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY p) AS text_dedup FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_tok, coalesce(r.n_kept, 0) AS n_kept,
+        |  coalesce(r.text_dedup, '') AS text_dedup
+        |FROM (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tok FROM w) t
+        |LEFT JOIN reb r ON t.doc_id = r.doc_id ORDER BY t.doc_id""".stripMargin,
+    // NB classifier replay: FNV HUGEINT fold → bucket (the ta_dsir_weights
+    // ladder), per-class Laplace log-probs + priors on the doc_id%5<>0
+    // split, per-(doc, class) score 4dp-quantized, argmax via
+    // row_number(score DESC, label) — Spark's min(struct(-score, label))
+    "ta_nb_classify" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents),
+        |hb AS (
+        |  SELECT doc_id, ((CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+        |      THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) % 4096)
+        |    + 4096) % 4096 AS b
+        |  FROM (SELECT doc_id, list_reduce(
+        |      list_prepend(14695981039346656037::HUGEINT,
+        |        [unicode(tok[i])::HUGEINT for i in generate_series(1, length(tok))]),
+        |      (a, x) -> (xor(a, x) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+        |    ) AS hu FROM toks)),
+        |docb AS (SELECT doc_id, b, count(*) AS c FROM hb GROUP BY doc_id, b),
+        |train AS (SELECT doc_id, lang AS label FROM documents WHERE doc_id % 5 <> 0),
+        |classb AS (SELECT t.label, d.b, CAST(sum(d.c) AS BIGINT) AS n
+        |  FROM docb d JOIN train t ON d.doc_id = t.doc_id GROUP BY t.label, d.b),
+        |classtot AS (SELECT label, CAST(sum(n) AS BIGINT) AS nt FROM classb GROUP BY label),
+        |priors AS (SELECT label, CAST(count(*) AS BIGINT) AS nd FROM train GROUP BY label),
+        |ndt AS (SELECT CAST(sum(nd) AS BIGINT) AS ndt FROM priors),
+        |sc AS (SELECT d.doc_id, ct.label,
+        |    sum(d.c * (ln(CAST(coalesce(cb.n, 0) + 1 AS DOUBLE))
+        |      - ln(CAST(ct.nt + 4096 AS DOUBLE)))) AS ll
+        |  FROM docb d CROSS JOIN classtot ct
+        |  LEFT JOIN classb cb ON cb.label = ct.label AND cb.b = d.b
+        |  GROUP BY d.doc_id, ct.label),
+        |scored AS (SELECT sc.doc_id, sc.label,
+        |    floor((sc.ll + ln(CAST(p.nd AS DOUBLE) / ndt.ndt)) * 10000 + 0.5) / 10000 AS score
+        |  FROM sc JOIN priors p ON sc.label = p.label, ndt),
+        |pred AS (SELECT doc_id, label AS pred, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rn
+        |  FROM scored)
+        |SELECT d.doc_id, d.lang AS label, p.pred, p.score,
+        |  (p.pred = d.lang) AS correct, (d.doc_id % 5 = 0) AS holdout
+        |FROM documents d JOIN pred p ON d.doc_id = p.doc_id AND p.rn = 1
+        |ORDER BY d.doc_id""".stripMargin,
     // DSIR replay: per-token FNV-1a64 HUGEINT fold (the ta_split_counts
     // pattern applied per token) → signed-pmod bucket, Laplace-smoothed
     // log-likelihood-ratio per bucket, Σ count·dlog per doc, 4dp quantized

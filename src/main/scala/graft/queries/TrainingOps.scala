@@ -1744,33 +1744,8 @@ object TrainingOps {
   def substringDupStats(spark: SparkSession, docs: DataFrame, n: Int = 8,
       flagNum: Int = 1, flagDen: Int = 5,
       hashWindows: Boolean = false): DataFrame = {
-    import spark.implicits._
     require(n >= 2 && flagNum > 0 && flagDen > 0)
-    val toks = docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
-    val occ =
-      if (hashWindows)
-        toks.flatMap { case (id, text) =>
-            val t = tokens(text)
-            if (t.length < n) Iterator.empty
-            else t.sliding(n).zipWithIndex.map { case (w, i) =>
-              (id, i, fnv1a64(w.mkString(" "))) } }
-          .toDF("doc_id", "pos", "g")
-      else
-        toks.flatMap { case (id, text) =>
-            val t = tokens(text)
-            if (t.length < n) Iterator.empty
-            else t.sliding(n).zipWithIndex.map { case (w, i) =>
-              (id, i, w.mkString(" ")) } }
-          .toDF("doc_id", "pos", "g")
-    val dup = occ.groupBy(col("g"))
-      .agg(min(col("doc_id")).as("w_min"), countDistinct(col("doc_id")).as("w_docs"))
-      .where(col("w_docs") >= 2)
-      .select(col("g"), col("w_min"))
-    val covered = occ.join(dup, Seq("g"))
-      .where(col("doc_id") =!= col("w_min"))
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
-      .distinct()
+    val covered = coveredPositions(spark, docs, n, hashWindows)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_tok"))
     // token totals via the codegen'd regexp count (the sourceMixWeights
     // idiom — counts non-space runs, identical to tokens().length), so the
@@ -1789,6 +1764,92 @@ object TrainingOps {
           * 1e4 + 0.5) / 1e4).as("dup_ratio"),
         (col("n_dup_tok") * flagDen >= col("n_tok") * flagNum &&
           col("n_dup_tok") > 0).as("flagged"))
+  }
+
+  /** The sliding-window occurrence stream shared by the T34 faces: one
+    * row per (doc, position, n-token window). `hashWindows` shuffles
+    * 8-byte FNV-1a64 longs instead of ~50 B window strings (the
+    * [[contaminationCheck]] hashGrams doctrine; OpsSpec pins face parity;
+    * the string form is the DuckDB oracle face). */
+  private def windowOccurrences(spark: SparkSession, docs: DataFrame, n: Int,
+      hashWindows: Boolean): DataFrame = {
+    import spark.implicits._
+    val toks = docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+    if (hashWindows)
+      toks.flatMap { case (id, text) =>
+          val t = tokens(text)
+          if (t.length < n) Iterator.empty
+          else t.sliding(n).zipWithIndex.map { case (w, i) =>
+            (id, i, fnv1a64(w.mkString(" "))) } }
+        .toDF("doc_id", "pos", "g")
+    else
+      toks.flatMap { case (id, text) =>
+          val t = tokens(text)
+          if (t.length < n) Iterator.empty
+          else t.sliding(n).zipWithIndex.map { case (w, i) =>
+            (id, i, w.mkString(" ")) } }
+        .toDF("doc_id", "pos", "g")
+  }
+
+  /** Duplicated token positions per document (the T34 core): every token
+    * position covered by a window occurring in ≥ 2 distinct documents,
+    * in each NON-canonical (non-min-doc_id) home. One hash aggregation to
+    * the DISTINCT-window table, then an occurrence⋈dup join with fan-out
+    * EXACTLY 1 per occurrence (dup is distinct on the window) — nothing
+    * quadratic on boilerplate (contrast [[ngramJaccardPairs]]' Σ df²). */
+  private def coveredPositions(spark: SparkSession, docs: DataFrame, n: Int,
+      hashWindows: Boolean): DataFrame = {
+    val occ = windowOccurrences(spark, docs, n, hashWindows)
+    val dup = occ.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("w_min"), countDistinct(col("doc_id")).as("w_docs"))
+      .where(col("w_docs") >= 2)
+      .select(col("g"), col("w_min"))
+    occ.join(dup, Seq("g"))
+      .where(col("doc_id") =!= col("w_min"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
+      .distinct()
+  }
+
+  /** Removal face of [[substringDupStats]] (T43) — Lee et al. 2022
+    * (arXiv:2107.06499) don't just MEASURE duplicated substrings, they
+    * delete them from the training text. Per document: every token whose
+    * position is covered by a cross-document duplicated window in a
+    * non-canonical home is dropped; canonical homes (the min-doc_id
+    * owner of each window) keep their text. Returns `(doc_id, n_tok,
+    * n_kept, text_dedup)` — the rewritten corpus plus the audit counts
+    * (`n_tok - n_kept` equals the stats face's `n_dup_tok` by
+    * construction; OpsSpec pins it).
+    *
+    * Scale shape: identical to the stats face up to the covered-position
+    * table (corpus-token-sized occurrence stream, fan-out-1 dup join);
+    * the rebuild is one left-anti join of the (doc, pos, token) stream
+    * against covered positions and one groupBy(doc_id) whose only
+    * per-group state is the document's own surviving tokens
+    * (`array_sort` over ≤ |doc| elements — the per-doc-bounded
+    * [[sequencePack]] posture, no global sort anywhere). */
+  def substringRewrite(spark: SparkSession, docs: DataFrame, n: Int = 8,
+      hashWindows: Boolean = false): DataFrame = {
+    import spark.implicits._
+    require(n >= 2)
+    val covered = coveredPositions(spark, docs, n, hashWindows)
+    val toksPos = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        tokens(text).iterator.zipWithIndex.map { case (t, i) => (id, i, t) } }
+      .toDF("doc_id", "p", "tok")
+    val rebuilt = toksPos.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+          x => x.getField("tok")), " ").as("text_dedup"))
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        size(regexp_extract_all(col("text"), lit("""\S+"""), lit(0)))
+          .cast("long").as("n_tok"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
 
   // ------------------------------------ DSIR importance weights (T35)
@@ -1988,5 +2049,78 @@ object TrainingOps {
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).cast("long").as("ws_tokens"),
         sum(col("c") * col("tok")).cast("long").as("bpe_tokens"))
+  }
+
+  // -------------------- trained classifier filter (T42, fastText posture)
+
+  /** Supervised hashed-feature naive-Bayes classifier — the MODEL-BASED
+    * filter of production curation (CCNet's fastText language ID; the
+    * LLaMA/GPT-3 "looks like Wikipedia" quality classifier), where the
+    * heuristic faces ([[langId]], [[qualityScore]]) are replaced by a
+    * model TRAINED on labeled data. Features are hashed unigrams
+    * (fastText's hashing-trick bag, FNV-1a64 pmod `buckets`); training
+    * fits per-class Laplace-smoothed feature log-probabilities and doc
+    * priors on the pmod(doc_id, holdMod) != 0 split; every document is
+    * then scored argmax_c [ log p(c) + Σ_b count_b · log p(b|c) ] and the
+    * held-out slice (pmod == 0, never seen in training) makes `correct`
+    * an honest accuracy readout.
+    *
+    * Per-class scores are quantized to 4 dp (floor-half-up) BEFORE the
+    * argmax, ties broken label-ascending — the decision is reproducible
+    * cross-engine except within ~1 ulp of a .xxxx5 boundary (the
+    * [[sourceMixWeights]] accepted residual).
+    *
+    * Scale shape: the corpus side pre-aggregates to (doc_id, bucket,
+    * count) — fan-out 1 per doc-bucket, the [[unigramLogProb]] doctrine —
+    * and the MODEL is parameter-sized: class feature counts ≤
+    * classes×buckets rows and priors ≤ classes rows, both built by
+    * map-side-partial aggregations and joined BROADCAST, so scoring is
+    * one corpus scan + one bucketed shuffle + a classes-way fan-out over
+    * 24-byte rows regardless of corpus size. The argmax is one
+    * min(struct) aggregation — no per-doc window, no global sort. */
+  def nbClassify(spark: SparkSession, docs: DataFrame, labelCol: String = "lang",
+      buckets: Int = 4096, holdMod: Int = 5): DataFrame = {
+    require(buckets > 0 && holdMod >= 2)
+    graft.functions.Fnv1a64Expr.register(spark)
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
+      col(labelCol).cast("string").as("label"), col("text"))
+    val docB = base
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .where(col("tok") =!= "")
+      .select(col("doc_id"), pmod(expr("fnv1a64(tok)"), lit(buckets.toLong)).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+    val train = base.where(pmod(col("doc_id"), lit(holdMod.toLong)) =!= 0)
+      .select(col("doc_id"), col("label"))
+    val classB = docB.join(train, Seq("doc_id"))
+      .groupBy(col("label"), col("b")).agg(sum(col("c")).as("n"))
+    val classTot = classB.groupBy(col("label")).agg(sum(col("n")).as("nt"))
+    val priors = train.groupBy(col("label")).agg(count(lit(1)).as("nd"))
+    val ndTot = priors.agg(sum(col("nd")).as("ndt")) // 1-row prior normalizer
+    // classes-way fan-out (crossJoin against the ≤ classes-row totals),
+    // then the smoothed per-(label, bucket) log-prob via a broadcast left
+    // join — absent buckets fall to the smoothing floor 1/(nt + buckets)
+    val scored = docB.crossJoin(broadcast(classTot))
+      .join(broadcast(classB), Seq("label", "b"), "left")
+      .select(col("doc_id"), col("label"),
+        (col("c") * (log((coalesce(col("n"), lit(0L)) + 1).cast("double")) -
+          log((col("nt") + buckets).cast("double")))).as("term"))
+      .groupBy(col("doc_id"), col("label"))
+      .agg(sum(col("term")).as("ll"))
+      .join(broadcast(priors), Seq("label"))
+      .crossJoin(broadcast(ndTot))
+      .select(col("doc_id"), col("label"),
+        (floor((col("ll") +
+          log(col("nd").cast("double") / col("ndt").cast("double"))) * 1e4 + 0.5)
+          / 1e4).as("score"))
+    // argmax: min(struct(-score, label)) = highest score, label-asc ties
+    val pred = scored
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("score")).as("ns"), col("label"))).as("m"))
+      .select(col("doc_id"), col("m.label").as("pred"), (-col("m.ns")).as("score"))
+    base.select(col("doc_id"), col("label"))
+      .join(pred, Seq("doc_id"))
+      .select(col("doc_id"), col("label"), col("pred"), col("score"),
+        (col("pred") === col("label")).as("correct"),
+        (pmod(col("doc_id"), lit(holdMod.toLong)) === 0).as("holdout"))
   }
 }

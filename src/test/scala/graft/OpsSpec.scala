@@ -1190,6 +1190,53 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("doc_id").collect().toSeq
     assert(a == b)
   }
+  test("substringRewrite: canonical keeps text, copies lose covered spans; kept+dup=total; faces agree") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d e"), // canonical home of both shared windows
+      (1L, "a b c d x"), // covered pos 0..3 → only "x" survives
+      (2L, "z z z")      // no cross-doc window → untouched
+    ).toDF("doc_id", "text")
+    val out = TrainingOps.substringRewrite(spark, docs, n = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(0L) == ((5L, 5L, "a b c d e")))
+    assert(out(1L) == ((5L, 1L, "x")))
+    assert(out(2L) == ((3L, 3L, "z z z")))
+    // audit identity across the whole fixture corpus: n_tok - n_kept ==
+    // the stats face's n_dup_tok, per document
+    val stats = TrainingOps.substringDupStats(spark, docsDf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val rew = TrainingOps.substringRewrite(spark, docsDf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1) - r.getLong(2))).toMap
+    assert(rew == stats)
+    // hashed-window face is row-identical (incl. the rebuilt text)
+    val a = TrainingOps.substringRewrite(spark, docsDf).orderBy("doc_id").collect().toSeq
+    val b = TrainingOps.substringRewrite(spark, docsDf, hashWindows = true)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+  test("nbClassify: separable vocab classified correctly on the unseen holdout; argmax ties label-asc") {
+    import spark.implicits._
+    // two classes with disjoint vocab; doc_ids 0,5,10,15 are holdout
+    // (pmod 5 == 0) and must be classified by the model trained on the rest
+    val docs = (0L until 20L).map { i =>
+      val lang = if (i % 2 == 0) "aa" else "bb"
+      val text = if (lang == "aa") "alpha beta gamma alpha" else "delta eps zeta zeta"
+      (i, text, lang)
+    }.toDF("doc_id", "text", "lang")
+    val out = TrainingOps.nbClassify(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getBoolean(4),
+        r.getBoolean(5)))
+    assert(out.length == 20)
+    assert(out.forall(_._4), s"misclassified: ${out.filterNot(_._4).toSeq}")
+    assert(out.count(_._5) == 4 && out.filter(_._5).forall(r => r._1 % 5 == 0))
+    // a doc whose tokens the model never saw scores both classes on the
+    // smoothing floor -> equal quantized scores -> label-ascending tie
+    val tie = TrainingOps.nbClassify(spark,
+        docs.union(Seq((20L, "unseen tokens only here", "bb")).toDF("doc_id", "text", "lang")))
+      .where(col("doc_id") === 20L).collect().head
+    assert(tie.getString(2) == "aa", "tie must break label-ascending")
+  }
 
   // --------------------------------------------- DSIR importance weights (T35)
   test("dsirWeights: target-like docs outscore off-target; identical texts tie; empty doc zero") {
