@@ -182,7 +182,7 @@ object TrainingOps {
     * to tell a capped run from an exact one, call [[hotGroupDropCount]] —
     * a separate aggregate ACTION, so the count is exact under task retry,
     * unlike an accumulator incremented inside a transformation. */
-  private def dropHotGroups(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+  private[graft] def dropHotGroups(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
     val kept = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__gsz"))
       .filter(col("__gsz") <= cap)
       .drop("__gsz")
@@ -246,7 +246,7 @@ object TrainingOps {
     * Fails fast (per row, inside the narrow map) if a stored signature's
     * length doesn't match `k`: slicing would otherwise clamp silently and a
     * k-mismatched table would yield garbage candidates, not an error. */
-  private def bandedSignatures(spark: SparkSession, sigDf: DataFrame,
+  private[graft] def bandedSignatures(spark: SparkSession, sigDf: DataFrame,
       k: Int, bands: Int): DataFrame = {
     import spark.implicits._
     require(k % bands == 0)

@@ -11,7 +11,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.core.Doc
 import graft.gen.SpanGen
 import graft.kernel.Extractor
-import graft.streaming.StreamExtract
+import graft.queries.TrainingOps
+import graft.streaming.{StreamAdmit, StreamExtract}
 
 /** Streaming surface tests: batch/stream kernel parity, exactly-once
   * file-stream resume, watermarked windowed aggregation. */
@@ -102,5 +103,73 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.contains((0L, "text", 3L)), s"rows=$rows")   // late (40,"text") NOT counted
     assert(rows.contains((0L, "media", 1L)))
     assert(rows.contains((180L, "text", 1L)))
+  }
+
+  test("streaming near-dup matches vs static store == batch pairs (stream-static, stateless)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // store: 1 is a near-copy of what will stream as 0; 2 unrelated
+    val store = Seq(
+      (1L, "alpha beta gamma delta eps zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val storeSigs = TrainingOps.minhashSignatures(spark, store)
+    val banded = StreamAdmit.bandedStore(spark, storeSigs)
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamAdmit.matchesAgainstStore(spark,
+        mem.toDS().toDF("doc_id", "text"), banded, minSim = 0.05)
+      .writeStream.format("memory").queryName("admit_matches")
+      .outputMode("append").start()
+    mem.addData((0L, "alpha beta gamma delta eps zeta eta theta iota kappa"))
+    mem.addData((3L, "unrelated words only in this new document here now"))
+    q.processAllAvailable()
+    q.stop()
+    // streaming emits per-band multiplicity; the batch face distincts —
+    // compare as sets
+    val streamed = spark.table("admit_matches").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = TrainingOps.minhashPairsAgainstStore(spark,
+        TrainingOps.minhashSignatures(spark, Seq(
+          (0L, "alpha beta gamma delta eps zeta eta theta iota kappa"),
+          (3L, "unrelated words only in this new document here now")
+        ).toDF("doc_id", "text")),
+        storeSigs, minSim = 0.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    assert(streamed.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 1.0))
+    assert(!streamed.exists(_._1 == 3L))
+  }
+
+  test("foreachBatch admission across micro-batches == one-shot batch admission") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("streamadmit").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ck = s"$base/ck"
+    val store = Seq(
+      (1L, "alpha beta gamma delta eps zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val storeSigs = TrainingOps.minhashSignatures(spark, store)
+    val newDocs = Seq(
+      (10L, "alpha beta gamma delta eps zeta eta theta iota kappa"), // dup of 1
+      (11L, "completely fresh content that matches nothing stored"),
+      (12L, "one two three four five six seven eight nine ten"),     // dup of 2
+      (13L, "another brand new document with unique words entirely")
+    )
+    // two waves → two micro-batches through the same checkpoint
+    newDocs.take(2).toDF("doc_id", "text").write.mode("append").parquet(in)
+    StreamAdmit.admitStream(spark,
+      spark.readStream.schema("doc_id LONG, text STRING").parquet(in),
+      storeSigs, out, ck, minSim = 0.05).awaitTermination()
+    newDocs.drop(2).toDF("doc_id", "text").write.mode("append").parquet(in)
+    StreamAdmit.admitStream(spark,
+      spark.readStream.schema("doc_id LONG, text STRING").parquet(in),
+      storeSigs, out, ck, minSim = 0.05).awaitTermination()
+
+    val streamed = spark.read.parquet(out).collect().map(_.getLong(0)).toSet
+    val batch = TrainingOps.incrementalAdmit(spark,
+        newDocs.toDF("doc_id", "text"), storeSigs, minSim = 0.05)
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == batch && streamed == Set(11L, 13L),
+      s"stream=$streamed batch=$batch")
   }
 }
