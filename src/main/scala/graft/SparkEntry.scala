@@ -913,6 +913,11 @@ object SparkEntry {
     // class per doc, holdout slice = honest accuracy readout
     "ta_nb_classify" -> ((s, d) =>
       TrainingOps.nbClassify(s, t(s, d, "documents")).orderBy(col("doc_id"))),
+    // bigram LM with Stupid Backoff (T44, Brants et al. 2007): count
+    // tables fit on the pmod!=0 split, per-doc avg ln-score + bigram hit
+    // rate — the context-aware upgrade of the unigram perplexity faces
+    "ta_bigram_lm" -> ((s, d) =>
+      TrainingOps.bigramStupidBackoff(s, t(s, d, "documents")).orderBy(col("doc_id"))),
     // DSIR importance weights (Xie et al. 2023): hashed-unigram log
     // likelihood ratio vs the src0 slice as the target distribution
     "ta_dsir_weights" -> ((s, d) => {
@@ -1903,6 +1908,40 @@ object SparkEntry {
         |  coalesce(r.text_dedup, '') AS text_dedup
         |FROM (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tok FROM w) t
         |LEFT JOIN reb r ON t.doc_id = r.doc_id ORDER BY t.doc_id""".stripMargin,
+    // Stupid-Backoff bigram LM replay: doc bigrams from list slices,
+    // count tables on the doc_id%5<>0 slice, seen → ln(bc/U(u)), unseen →
+    // ln(0.4·(U(w)+1)/(N+V)), per-doc 4dp avg + exact-integer hit rate
+    "ta_bigram_lm" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents),
+        |bi AS (SELECT doc_id, ws[i] AS u, ws[i+1] AS wd
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        |        FROM w WHERE len(ws) >= 2)),
+        |docbi AS (SELECT doc_id, u, wd, CAST(count(*) AS BIGINT) AS c
+        |  FROM bi GROUP BY doc_id, u, wd),
+        |bitab AS (SELECT u, wd, CAST(sum(c) AS BIGINT) AS bc FROM docbi
+        |  WHERE doc_id % 5 <> 0 GROUP BY u, wd),
+        |unitab AS (SELECT tok, CAST(count(*) AS BIGINT) AS uc FROM (
+        |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+        |    FROM documents) WHERE doc_id % 5 <> 0 GROUP BY tok),
+        |norm AS (SELECT CAST(sum(uc) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v
+        |  FROM unitab),
+        |sc AS (SELECT d.doc_id, d.c,
+        |    CASE WHEN b.bc IS NOT NULL THEN ln(CAST(b.bc AS DOUBLE) / uu.uc)
+        |      ELSE ln(0.4 * CAST(coalesce(uw.uc, 0) + 1 AS DOUBLE) / (norm.n + norm.v))
+        |    END AS lp,
+        |    CASE WHEN b.bc IS NOT NULL THEN d.c ELSE 0 END AS hits
+        |  FROM docbi d
+        |  LEFT JOIN bitab b ON d.u = b.u AND d.wd = b.wd
+        |  LEFT JOIN unitab uu ON d.u = uu.tok
+        |  LEFT JOIN unitab uw ON d.wd = uw.tok, norm),
+        |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |    floor(sum(c * lp) / sum(c) * 10000 + 0.5) / 10000 AS avg_lp,
+        |    floor(CAST(sum(hits) AS DOUBLE) / sum(c) * 10000 + 0.5) / 10000 AS hit_rate
+        |  FROM sc GROUP BY doc_id)
+        |SELECT dd.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(a.avg_lp, 0.0) AS avg_lp, coalesce(a.hit_rate, 0.0) AS hit_rate
+        |FROM (SELECT DISTINCT doc_id FROM documents) dd
+        |LEFT JOIN agg a ON dd.doc_id = a.doc_id ORDER BY dd.doc_id""".stripMargin,
     // NB classifier replay: FNV HUGEINT fold → bucket (the ta_dsir_weights
     // ladder), per-class Laplace log-probs + priors on the doc_id%5<>0
     // split, per-(doc, class) score 4dp-quantized, argmax via

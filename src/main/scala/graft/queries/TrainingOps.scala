@@ -2051,6 +2051,78 @@ object TrainingOps {
         sum(col("c") * col("tok")).cast("long").as("bpe_tokens"))
   }
 
+  // -------------------- bigram LM, Stupid Backoff (T44, web-scale LM)
+
+  /** Bigram language-model scoring with Stupid Backoff (Brants et al.
+    * 2007, "Large Language Models in Machine Translation" — the scoring
+    * rule DESIGNED for distributed count-based LMs: no discounting, no
+    * normalization pass, S(w|u) = B(u,w)/U(u) if seen else 0.4·S(w), so
+    * the model IS the count tables). Upgrades the unigram perplexity
+    * faces ([[unigramLogProb]]) with context: counts fit on the
+    * pmod(doc_id, holdMod) != 0 split, every doc scored
+    *   avg_lp  = (1/n_bi) Σ c·ln S(w|u)
+    *   hit_rate = fraction of bigram occurrences found in the table
+    * (unseen unigrams fall to the Laplace floor (U(w)+1)/(N+V) so the
+    * backoff never hits ln 0). Both ratios 4-dp floor-half-up: hit_rate
+    * is an exact integer ratio; avg_lp carries the ~1-ulp .xxxx5
+    * residual accepted for [[sourceMixWeights]].
+    *
+    * Scale shape: docs pre-aggregate to (doc, u, w, count) — ONE
+    * corpus-bigram-sized stream, map-side combinable; the count tables
+    * are gram-vocabulary-sized aggregations of the SAME stream (train
+    * slice) plus a token-level unigram table, joined back fan-out 1 per
+    * (doc, distinct bigram) — broadcast at bench scale, shuffled hash
+    * joins on the gram key at 100 TB where the bigram table is itself
+    * huge (the stored-gram doctrine: materialize U/B once via TableIO
+    * per train snapshot, the [[contaminationTrainGrams]] seam); N and V
+    * are 1-row broadcast normalizers. No window, no global sort. */
+  def bigramStupidBackoff(spark: SparkSession, docs: DataFrame,
+      holdMod: Int = 5, backoff: Double = 0.4): DataFrame = {
+    import spark.implicits._
+    require(holdMod >= 2)
+    val docBi = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = tokens(text)
+        if (t.length < 2) Iterator.empty
+        else t.sliding(2).map(p => (id, p(0), p(1))) }
+      .toDF("doc_id", "u", "w")
+      .groupBy(col("doc_id"), col("u"), col("w")).agg(count(lit(1)).as("c"))
+    val isTrain = pmod(col("doc_id"), lit(holdMod.toLong)) =!= 0
+    val biTab = docBi.where(isTrain)
+      .groupBy(col("u"), col("w")).agg(sum(col("c")).as("bc"))
+    val uniTab = docs.select(col("doc_id").cast("long").as("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .where(col("tok") =!= "" && isTrain)
+      .groupBy(col("tok")).agg(count(lit(1)).as("uc"))
+    val norm = uniTab.agg(sum(col("uc")).as("n"),
+      count(lit(1)).as("v")) // 1-row: total tokens + vocab size
+    val scored = docBi
+      .join(biTab, Seq("u", "w"), "left")
+      .join(uniTab.select(col("tok").as("u"), col("uc").as("uu")), Seq("u"), "left")
+      .join(uniTab.select(col("tok").as("w"), col("uc").as("uw")), Seq("w"), "left")
+      .crossJoin(broadcast(norm))
+      .select(col("doc_id"), col("c"),
+        when(col("bc").isNotNull,
+            log(col("bc").cast("double") / col("uu").cast("double")))
+          .otherwise(log(lit(backoff) *
+            (coalesce(col("uw"), lit(0L)) + 1).cast("double") /
+            (col("n") + col("v")).cast("double"))).as("lp"),
+        when(col("bc").isNotNull, col("c")).otherwise(lit(0L)).as("hits"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_bigrams"),
+        (floor(sum(col("c") * col("lp")) / sum(col("c")) * 1e4 + 0.5) / 1e4)
+          .as("avg_lp"),
+        (floor(sum(col("hits")).cast("double") / sum(col("c")) * 1e4 + 0.5) / 1e4)
+          .as("hit_rate"))
+    docs.select(col("doc_id").cast("long").as("doc_id")).distinct()
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("avg_lp"), lit(0.0)).as("avg_lp"),
+        coalesce(col("hit_rate"), lit(0.0)).as("hit_rate"))
+  }
+
   // -------------------- trained classifier filter (T42, fastText posture)
 
   /** Supervised hashed-feature naive-Bayes classifier — the MODEL-BASED

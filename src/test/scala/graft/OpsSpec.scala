@@ -1215,6 +1215,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("doc_id").collect().toSeq
     assert(a == b)
   }
+  test("bigramStupidBackoff: seen bigram = ln(bc/uc); unseen backs off to 0.4·laplace-unigram") {
+    import spark.implicits._
+    // train (pmod 5 != 0): "a b", "a b", "b c", "c d" → N=8 tokens,
+    // V=4, B(a,b)=2, U(a)=2; holdout doc 0 "a b" scores ln(2/2)=0,
+    // holdout doc 5 "a c" has no B(a,c) → ln(0.4·(U(c)+1)/(N+V)) =
+    // ln(0.4·3/12) = ln(0.1) → -2.3026 at 4dp
+    val docs = Seq(
+      (0L, "a b"), (1L, "a b"), (2L, "a b"), (3L, "b c"), (4L, "c d"),
+      (5L, "a c")
+    ).toDF("doc_id", "text")
+    val out = TrainingOps.bigramStupidBackoff(spark, docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(0L) == ((1L, 0.0, 1.0)), s"got ${out(0L)}")
+    assert(out(5L) == ((1L, -2.3026, 0.0)), s"got ${out(5L)}")
+    // train doc 4 "c d": B(c,d)=1, U(c)=2 → ln(0.5) = -0.6931
+    assert(out(4L) == ((1L, -0.6931, 1.0)), s"got ${out(4L)}")
+  }
   test("nbClassify: separable vocab classified correctly on the unseen holdout; argmax ties label-asc") {
     import spark.implicits._
     // two classes with disjoint vocab; doc_ids 0,5,10,15 are holdout
