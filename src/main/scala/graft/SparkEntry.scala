@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.gen.SpanGen
 import graft.kernel.{Chunker, Extractor}
 import graft.multimodal.MediaOps
-import graft.queries.{EntityLink, OcrOps, TrainingOps}
+import graft.queries.{EntityLink, GraphOps, OcrOps, RetrievalOps, TrainingOps}
 import graft.sources.MailIngest
 
 /** Driver contract: one `queries` entry per implemented operator from
@@ -925,6 +925,36 @@ object SparkEntry {
       TrainingOps.dsirWeights(s, docs, docs.where(col("source") === "src0"))
         .orderBy(col("doc_id"))
     }),
+    // per-source distribution drift vs the corpus mixture (T47): KL and
+    // Jensen-Shannon over the DSIR hashed-unigram feature model — the
+    // telemetry face that gates re-fitting the mixture/classifier models
+    "ta_source_divergence" -> ((s, d) =>
+      TrainingOps.sourceDivergence(s, t(s, d, "documents"))
+        .orderBy(col("source"))),
+    // BM25 ranked retrieval (T45, Robertson et al. 1994): mixed-df query
+    // ('dup' is rare, the others common); top-k is semantic
+    // (TakeOrderedAndProject) with ties broken on the quantized score
+    "ret_bm25_topk" -> ((s, d) =>
+      RetrievalOps.bm25TopK(t(s, d, "documents"), Seq("dup", "spark", "window"))),
+    // PageRank over the entity co-occurrence graph (T46, Page et al.
+    // 1999): symmetric distinct co-mention edges from the spans store,
+    // exact integer arithmetic (1e9 rank units) — no fp caveat
+    "gr_pagerank" -> ((s, _) => {
+      val m = EntityLink.mentionsFromStore(
+          graft.core.TableIO.read(s, extractSpansStore(s)))
+        .select(col("doc_id"), col("entity_type"), col("norm")).distinct()
+      val p = m.as("a").join(m.as("b"),
+          col("a.doc_id") === col("b.doc_id") &&
+            (col("a.entity_type") < col("b.entity_type") ||
+              (col("a.entity_type") === col("b.entity_type") &&
+                col("a.norm") < col("b.norm"))))
+        .select(concat_ws(":", col("a.entity_type"), col("a.norm")).as("src"),
+          concat_ws(":", col("b.entity_type"), col("b.norm")).as("dst"))
+        .distinct()
+      GraphOps.pageRank(s,
+          p.union(p.select(col("dst").as("src"), col("src").as("dst"))))
+        .orderBy(col("rank_units").desc, col("node"))
+    }),
     // tokenizer training faces (Sennrich et al. 2016): first-iteration BPE
     // pair statistics (top-k is semantic — TakeOrderedAndProject), and the
     // 4-step greedy merge loop's merge table
@@ -988,6 +1018,41 @@ object SparkEntry {
   // dd_{minhash,simhash,ngram}_stored are the same computations over a
   // materialized signature/fingerprint/shingle table — each shares its
   // lazy twin's oracle verbatim (appended at the end)
+  /** Generated CTE chain replaying [[GraphOps.pageRank]]'s fixed-count
+    * integer iterations over the co-mention graph (same mentions/pairs
+    * construction as the j6 replay): s_k = per-node floored share,
+    * c_k = summed incoming shares, r_k = base + floored damped mass. */
+  private def pageRankSql(iters: Int): String = {
+    val head =
+      """WITH m AS (SELECT DISTINCT doc_id, substr(kind, 8) AS entity_type,
+        |    lower(text) AS norm
+        |  FROM read_parquet('__WAREHOUSE__/graft_extract_spans/*.parquet')
+        |  WHERE kind LIKE 'entity:%'),
+        |p AS (SELECT DISTINCT a.entity_type || ':' || a.norm AS src,
+        |    b.entity_type || ':' || b.norm AS dst
+        |  FROM m a JOIN m b ON a.doc_id = b.doc_id
+        |    AND (a.entity_type < b.entity_type
+        |      OR (a.entity_type = b.entity_type AND a.norm < b.norm))),
+        |e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+        |nod AS (SELECT DISTINCT src AS node FROM e),
+        |nn AS (SELECT count(*) AS n FROM nod),
+        |dg AS (SELECT src AS node, count(*) AS od FROM e GROUP BY 1),
+        |r0 AS (SELECT node, CAST(floor(1e9 / nn.n) AS BIGINT) AS r
+        |  FROM nod CROSS JOIN nn)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s""",
+         |s$k AS (SELECT r.node, CAST(floor(CAST(r.r AS DOUBLE) / d.od) AS BIGINT) AS s
+         |  FROM r${k - 1} r JOIN dg d ON r.node = d.node),
+         |c$k AS (SELECT e.dst AS node, CAST(sum(s.s) AS BIGINT) AS c
+         |  FROM e JOIN s$k s ON e.src = s.node GROUP BY 1),
+         |r$k AS (SELECT nod.node, CAST(floor(1.5e8 / nn.n)
+         |    + floor(CAST(coalesce(c.c, 0) AS DOUBLE) * CAST(85 AS DOUBLE) / CAST(100 AS DOUBLE)) AS BIGINT) AS r
+         |  FROM nod CROSS JOIN nn LEFT JOIN c$k c ON nod.node = c.node)""".stripMargin
+    }.mkString
+    head + rounds +
+      s"\nSELECT node, r AS rank_units FROM r$iters ORDER BY rank_units DESC, node"
+  }
+
   def oracleSql: Map[String, String] = {
     val base = baseOracleSql
     // the incremental faces share dd_minhash_pairs' signature-replay CTE
@@ -2014,6 +2079,90 @@ object SparkEntry {
         |  coalesce(sc.log_w, 0.0) AS log_w, coalesce(sc.log_w, 0.0) > 0 AS keep
         |FROM (SELECT DISTINCT doc_id FROM documents) d
         |LEFT JOIN sc ON d.doc_id = sc.doc_id ORDER BY d.doc_id""".stripMargin,
+    // source-divergence replay (T47): the DSIR FNV bucket ladder keyed by
+    // source, full 4096-bucket domain per source (zero-count buckets carry
+    // their smoothed mass), KL/JS sums 4dp-quantized on both sides
+    "ta_source_divergence" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents),
+        |hb AS (
+        |  SELECT source, ((CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+        |      THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) % 4096)
+        |    + 4096) % 4096 AS b
+        |  FROM (SELECT source, list_reduce(
+        |      list_prepend(14695981039346656037::HUGEINT,
+        |        [unicode(tok[i])::HUGEINT for i in generate_series(1, length(tok))]),
+        |      (a, x) -> (xor(a, x) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+        |    ) AS hu FROM toks)),
+        |sb AS (SELECT source, b, count(*) AS c FROM hb GROUP BY 1, 2),
+        |cb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cc FROM sb GROUP BY 1),
+        |stt AS (SELECT source, CAST(sum(c) AS BIGINT) AS st FROM sb GROUP BY 1),
+        |ctt AS (SELECT CAST(sum(cc) AS BIGINT) AS ct FROM cb),
+        |dom AS (SELECT s.source, s.st, g.b FROM stt s
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 4095)) AS b) g),
+        |t AS (SELECT d.source, d.st,
+        |    CAST(coalesce(sb.c, 0) + 1 AS DOUBLE) / (d.st + 4096) AS p,
+        |    CAST(coalesce(cb.cc, 0) + 1 AS DOUBLE) / (ctt.ct + 4096) AS q
+        |  FROM dom d LEFT JOIN sb ON sb.source = d.source AND sb.b = d.b
+        |    LEFT JOIN cb ON cb.b = d.b CROSS JOIN ctt)
+        |SELECT source, max(st) AS n_tok,
+        |  floor(sum(p * ln(p / q)) * 10000 + 0.5) / 10000 AS kl_vs_corpus,
+        |  floor(sum(CAST(0.5 AS DOUBLE) * (p * ln(p / ((p + q) / 2)))
+        |    + CAST(0.5 AS DOUBLE) * (q * ln(q / ((p + q) / 2)))) * 10000 + 0.5) / 10000
+        |    AS js_vs_corpus
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    // BM25 replay (T45): per-doc length + per-term tf in ONE conditional
+    // aggregation, corpus stats in a 1-row cross join; every fractional
+    // literal CAST AS DOUBLE (DuckDB decimal-literal gotcha), expression
+    // order mirrors the Spark tree exactly, score 4dp-quantized with
+    // ties at the k-boundary broken by doc_id
+    "ret_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents),
+        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
+        |    CAST(sum(CASE WHEN tok = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS tf0,
+        |    CAST(sum(CASE WHEN tok = 'spark' THEN 1 ELSE 0 END) AS BIGINT) AS tf1,
+        |    CAST(sum(CASE WHEN tok = 'window' THEN 1 ELSE 0 END) AS BIGINT) AS tf2
+        |  FROM toks GROUP BY doc_id),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+        |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+        |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+        |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+        |  FROM pd)
+        |SELECT doc_id, n_tokens, n_terms, score FROM (
+        |  SELECT doc_id, dl AS n_tokens,
+        |    CAST((CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms,
+        |    floor((
+        |      (CASE WHEN tf0 > 0 THEN ln(CAST(1 AS DOUBLE)
+        |          + (n_docs - df0 + CAST(0.5 AS DOUBLE)) / (df0 + CAST(0.5 AS DOUBLE)))
+        |        * (CAST(tf0 AS DOUBLE) * CAST(2.2 AS DOUBLE)
+        |          / (CAST(tf0 AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+        |            + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl)))
+        |        ELSE CAST(0 AS DOUBLE) END)
+        |      + (CASE WHEN tf1 > 0 THEN ln(CAST(1 AS DOUBLE)
+        |          + (n_docs - df1 + CAST(0.5 AS DOUBLE)) / (df1 + CAST(0.5 AS DOUBLE)))
+        |        * (CAST(tf1 AS DOUBLE) * CAST(2.2 AS DOUBLE)
+        |          / (CAST(tf1 AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+        |            + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl)))
+        |        ELSE CAST(0 AS DOUBLE) END)
+        |      + (CASE WHEN tf2 > 0 THEN ln(CAST(1 AS DOUBLE)
+        |          + (n_docs - df2 + CAST(0.5 AS DOUBLE)) / (df2 + CAST(0.5 AS DOUBLE)))
+        |        * (CAST(tf2 AS DOUBLE) * CAST(2.2 AS DOUBLE)
+        |          / (CAST(tf2 AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+        |            + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl)))
+        |        ELSE CAST(0 AS DOUBLE) END)
+        |    ) * 10000 + 0.5) / 10000 AS score
+        |  FROM pd CROSS JOIN st)
+        |WHERE n_terms > 0 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // PageRank replay (T46): 4 unrolled rank iterations in exact integer
+    // arithmetic — every floor() sits on a double quotient whose distance
+    // from the boundary is >= 1/denominator >> ulp, so both engines land
+    // on identical BIGINTs; generated CTE chain (the ta_bpe_merges
+    // unrolling pattern)
+    "gr_pagerank" -> pageRankSql(4),
     // BPE pair replay: corpus → distinct-word vocab with frequencies,
     // adjacent character pairs weighted by word freq, top-20 count-desc
     // with (l, r) ascending tie-break

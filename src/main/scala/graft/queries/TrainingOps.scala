@@ -1911,6 +1911,57 @@ object TrainingOps {
       .withColumn("keep", col("log_w") > 0)
   }
 
+  // ------------------------------- source distribution divergence (T47)
+
+  /** Per-source distribution drift vs the corpus mixture: KL(source ‖
+    * corpus) and Jensen–Shannon divergence over Laplace-smoothed
+    * hashed-unigram distributions (the [[dsirWeights]] feature model —
+    * feature = pmod(fnv1a64(token), buckets)). The telemetry face of a
+    * mixture pipeline: a source whose divergence jumps between snapshots
+    * changed its content distribution (crawler drift, a new upstream
+    * dump), which is what gates re-fitting the T31/T35/T42 models.
+    *
+    * Scale shape: ONE corpus scan; per-(source, bucket) counts map-side
+    * combine down to ≤ sources×buckets rows before the only
+    * data-dependent shuffle, the corpus mixture re-aggregates that table
+    * (exchange reuse — the [[dsirWeights]] posture), and the divergence
+    * algebra runs on a sources×buckets cross-join domain (82k rows at
+    * 4096 buckets × 20 sources — constant in corpus size) so zero-count
+    * buckets contribute their smoothed mass exactly. The entropy sums are
+    * genuinely floating-point over `buckets` terms; 4-decimal
+    * floor-half-up quantization narrows (not eliminates) cross-engine
+    * boundary risk — the [[unigramLogProb]] caveat applies. */
+  def sourceDivergence(spark: SparkSession, docs: DataFrame,
+      buckets: Int = 4096): DataFrame = {
+    require(buckets > 0)
+    graft.functions.Fnv1a64Expr.register(spark)
+    val srcB = docs
+      .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .where(col("tok") =!= "")
+      .select(col("source"), pmod(expr("fnv1a64(tok)"), lit(buckets.toLong)).as("b"))
+      .groupBy(col("source"), col("b")).agg(count(lit(1)).as("c"))
+    val corpB = srcB.groupBy(col("b")).agg(sum(col("c")).as("cc"))
+    val srcTot = srcB.groupBy(col("source")).agg(sum(col("c")).as("st"))
+    val corpTot = corpB.agg(sum(col("cc")).as("ct"))
+    val domain = srcTot.crossJoin(
+      spark.range(buckets.toLong).select(col("id").as("b")))
+    val p = (coalesce(col("c"), lit(0L)) + 1).cast("double") /
+      (col("st") + buckets).cast("double")
+    val q = (coalesce(col("cc"), lit(0L)) + 1).cast("double") /
+      (col("ct") + buckets).cast("double")
+    val m = (p + q) / 2
+    domain.join(srcB, Seq("source", "b"), "left")
+      .join(broadcast(corpB), Seq("b"), "left")
+      .crossJoin(broadcast(corpTot))
+      .select(col("source"), col("st"),
+        (p * log(p / q)).as("kl_t"),
+        (lit(0.5) * (p * log(p / m)) + lit(0.5) * (q * log(q / m))).as("js_t"))
+      .groupBy(col("source"))
+      .agg(max(col("st")).cast("long").as("n_tok"),
+        (floor(sum(col("kl_t")) * 1e4 + 0.5) / 1e4).as("kl_vs_corpus"),
+        (floor(sum(col("js_t")) * 1e4 + 0.5) / 1e4).as("js_vs_corpus"))
+  }
+
   // ----------------------------------------- BPE pair statistics (T36)
 
   /** First-iteration BPE pair statistics (Sennrich et al. 2016, "Neural

@@ -1329,4 +1329,125 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == naive)
   }
+
+  // ---------------------------------------------- BM25 retrieval (T45)
+
+  /** Independent plain-Scala BM25 with the operator's exact expression
+    * order (term scores summed left-to-right, 4dp floor-half-up). */
+  private def refBm25(docs: Seq[(Long, String)], terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): Map[Long, (Long, Long, Double)] = {
+    val toks = docs.map { case (id, t) =>
+      id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }
+    val n = docs.size.toLong
+    val avgdl = toks.map(_._2.length.toLong).sum.toDouble / n
+    val dfs = terms.map(t => toks.count(_._2.contains(t)).toLong)
+    toks.flatMap { case (id, ws) =>
+      val dl = ws.length.toLong
+      val tfs = terms.map(t => ws.count(_ == t).toLong)
+      val nHit = tfs.count(_ > 0).toLong
+      if (nHit == 0) None
+      else {
+        val score = terms.indices.map { i =>
+          if (tfs(i) == 0) 0.0
+          else {
+            val idf = math.log(1.0 + (n - dfs(i) + 0.5) / (dfs(i) + 0.5))
+            idf * (tfs(i).toDouble * (k1 + 1.0) /
+              (tfs(i).toDouble + k1 * ((1.0 - b) + b * dl.toDouble / avgdl)))
+          }
+        }.reduce(_ + _)
+        Some(id -> ((dl, nHit, math.floor(score * 1e4 + 0.5) / 1e4)))
+      }
+    }.toMap
+  }
+
+  test("bm25TopK matches an independent reference; no-hit docs excluded; k truncates") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy cat"),
+      (2L, "el gato y el perro de la casa que ladra"),
+      (3L, "completely unrelated words here banana xylophone"),
+      (4L, "the quick brown fox jumps over the lazy dog"))
+    val docs = rows.toDF("doc_id", "text")
+    val terms = Seq("fox", "banana")
+    val exp = refBm25(rows, terms)
+    val got = graft.queries.RetrievalOps.bm25TopK(docs, terms, k = 20).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == exp)             // doc 2 matches nothing → absent from both
+    assert(!got.contains(2L))
+    // banana is the rarer term (df 1 vs 3) → doc 3 must out-score the fox docs
+    assert(got(3L)._3 > got(0L)._3)
+    // k truncation keeps the highest quantized scores, doc_id tie-break
+    val top2 = graft.queries.RetrievalOps.bm25TopK(docs, terms, k = 2).collect()
+      .map(_.getLong(0)).toSeq
+    val order = exp.toSeq.sortBy { case (id, (_, _, s)) => (-s, id) }.map(_._1)
+    assert(top2 == order.take(2))
+  }
+
+  // ------------------------------------------------- PageRank (T46)
+
+  /** Independent integer PageRank with the operator's exact arithmetic. */
+  private def refPageRank(edges: Seq[(String, String)], iters: Int): Map[String, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val n = nodes.size
+    val od = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val base = math.floor(1.5e8 / n).toLong
+    var r = nodes.map(_ -> math.floor(1e9 / n).toLong).toMap
+    for (_ <- 0 until iters) {
+      val sh = r.map { case (k, v) => k -> math.floor(v.toDouble / od(k)).toLong }
+      val c = edges.groupBy(_._2).map { case (d, es) => d -> es.map(e => sh(e._1)).sum }
+      r = nodes.map(nd => nd ->
+        (base + math.floor(c.getOrElse(nd, 0L).toDouble * 85.0 / 100.0).toLong)).toMap
+    }
+    r
+  }
+
+  test("pageRank matches the integer reference on a path graph; clique stays uniform") {
+    import spark.implicits._
+    // undirected path a-b-c, symmetrized distinct edges
+    val path = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
+    val got = graft.queries.GraphOps.pageRank(spark, path.toDF("src", "dst"), iters = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == refPageRank(path, 4))
+    assert(got("b") > got("a") && got("a") == got("c")) // the hub wins, leaves tie
+    // 3-clique: regular graph → uniform ranks every round
+    val k3 = for { x <- Seq("x", "y", "z"); y <- Seq("x", "y", "z") if x != y } yield (x, y)
+    val kr = graft.queries.GraphOps.pageRank(spark, k3.toDF("src", "dst"), iters = 4)
+      .collect().map(_.getLong(1)).toSet
+    assert(kr.size == 1)
+    assert(kr == refPageRank(k3, 4).values.toSet)
+    // empty graph → empty result, no crash
+    assert(graft.queries.GraphOps.pageRank(spark,
+      Seq.empty[(String, String)].toDF("src", "dst")).count() == 0L)
+  }
+
+  // -------------------------------------- source divergence (T47)
+
+  test("sourceDivergence: single source == corpus → zero; symmetric split ties; JS bounded") {
+    import spark.implicits._
+    // one source IS the corpus: smoothed p == q bucket-for-bucket → KL = JS = 0
+    val solo = Seq((0L, "alpha beta gamma alpha", "en", "srcA"),
+      (1L, "beta gamma delta", "en", "srcA")).toDF("doc_id", "text", "lang", "source")
+    val s1 = TrainingOps.sourceDivergence(spark, solo).collect()
+    assert(s1.length == 1)
+    assert(s1.head.getLong(1) == 7L)
+    assert(s1.head.getDouble(2) == 0.0 && s1.head.getDouble(3) == 0.0)
+    // equal-mass disjoint sources diverge from the mixture symmetrically
+    val pair = Seq((0L, "aa aa aa aa", "en", "srcA"),
+      (1L, "bb bb bb bb", "en", "srcB")).toDF("doc_id", "text", "lang", "source")
+    val s2 = TrainingOps.sourceDivergence(spark, pair).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(s2("srcA") == s2("srcB"))
+    assert(s2("srcA")._1 > 0.0)
+    // a dominant source sits closer to the mixture than a tiny divergent one
+    val skew = Seq((0L, "cc cc cc cc cc cc cc cc cc cc cc cc cc cc cc cc", "en", "srcBig"),
+      (1L, "dd", "en", "srcTiny")).toDF("doc_id", "text", "lang", "source")
+    val s3 = TrainingOps.sourceDivergence(spark, skew).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(s3("srcBig") < s3("srcTiny"))
+    // JS is bounded by ln 2 on every row
+    (s1.map(_.getDouble(3)) ++ s2.values.map(_._2)).foreach { js =>
+      assert(js >= 0.0 && js <= 0.6932)
+    }
+  }
 }
