@@ -955,6 +955,38 @@ object SparkEntry {
           p.union(p.select(col("dst").as("src"), col("src").as("dst"))))
         .orderBy(col("rank_units").desc, col("node"))
     }),
+    // personalized PageRank (T49): teleport mass restricted to PERSON
+    // nodes — entity importance as seen from the corpus's people
+    "gr_pagerank_seeded" -> ((s, _) => {
+      val m = EntityLink.mentionsFromStore(
+          graft.core.TableIO.read(s, extractSpansStore(s)))
+        .select(col("doc_id"), col("entity_type"), col("norm")).distinct()
+      val p = m.as("a").join(m.as("b"),
+          col("a.doc_id") === col("b.doc_id") &&
+            (col("a.entity_type") < col("b.entity_type") ||
+              (col("a.entity_type") === col("b.entity_type") &&
+                col("a.norm") < col("b.norm"))))
+        .select(concat_ws(":", col("a.entity_type"), col("a.norm")).as("src"),
+          concat_ws(":", col("b.entity_type"), col("b.norm")).as("dst"))
+        .distinct()
+      GraphOps.pageRankSeeded(s,
+          p.union(p.select(col("dst").as("src"), col("src").as("dst"))),
+          col("node").startsWith("PERSON:"))
+        .orderBy(col("rank_units").desc, col("node"))
+    }),
+    // corpus snapshot diff (T48): two deterministic versions synthesized
+    // from the documents table (v1 drops doc_id%7==0, v2 drops %5==0 and
+    // appends ' v2' to %3==0 texts) — added/removed/changed/unchanged per
+    // doc via the 16-byte hash face; the oracle compares text directly
+    "ta_snapshot_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val vOld = docs.where(pmod(col("doc_id").cast("long"), lit(7L)) =!= 0)
+      val vNew = docs.where(pmod(col("doc_id").cast("long"), lit(5L)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id").cast("long"), lit(3L)) === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      TrainingOps.snapshotDiff(s, vOld, vNew).orderBy(col("doc_id"))
+    }),
     // tokenizer training faces (Sennrich et al. 2016): first-iteration BPE
     // pair statistics (top-k is semantic — TakeOrderedAndProject), and the
     // 4-step greedy merge loop's merge table
@@ -1021,8 +1053,11 @@ object SparkEntry {
   /** Generated CTE chain replaying [[GraphOps.pageRank]]'s fixed-count
     * integer iterations over the co-mention graph (same mentions/pairs
     * construction as the j6 replay): s_k = per-node floored share,
-    * c_k = summed incoming shares, r_k = base + floored damped mass. */
-  private def pageRankSql(iters: Int): String = {
+    * c_k = summed incoming shares, r_k = base + floored damped mass.
+    * With `seedLike`, replays [[GraphOps.pageRankSeeded]] instead: |S|
+    * counts only matching nodes and start/teleport mass is gated by the
+    * same LIKE predicate. */
+  private def pageRankSql(iters: Int, seedLike: Option[String] = None): String = {
     val head =
       """WITH m AS (SELECT DISTINCT doc_id, substr(kind, 8) AS entity_type,
         |    lower(text) AS norm
@@ -1034,18 +1069,32 @@ object SparkEntry {
         |    AND (a.entity_type < b.entity_type
         |      OR (a.entity_type = b.entity_type AND a.norm < b.norm))),
         |e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
-        |nod AS (SELECT DISTINCT src AS node FROM e),
-        |nn AS (SELECT count(*) AS n FROM nod),
-        |dg AS (SELECT src AS node, count(*) AS od FROM e GROUP BY 1),
-        |r0 AS (SELECT node, CAST(floor(1e9 / nn.n) AS BIGINT) AS r
-        |  FROM nod CROSS JOIN nn)""".stripMargin
+        |nod AS (SELECT DISTINCT src AS node FROM e),""".stripMargin +
+      (seedLike match {
+        case None => """
+          |nn AS (SELECT count(*) AS n FROM nod),
+          |dg AS (SELECT src AS node, count(*) AS od FROM e GROUP BY 1),
+          |r0 AS (SELECT node, CAST(floor(1e9 / nn.n) AS BIGINT) AS r
+          |  FROM nod CROSS JOIN nn)""".stripMargin
+        case Some(pat) => s"""
+          |nn AS (SELECT count(*) AS n FROM nod WHERE node LIKE '$pat'),
+          |dg AS (SELECT src AS node, count(*) AS od FROM e GROUP BY 1),
+          |r0 AS (SELECT node, CASE WHEN node LIKE '$pat'
+          |    THEN CAST(floor(1e9 / nn.n) AS BIGINT) ELSE 0 END AS r
+          |  FROM nod CROSS JOIN nn)""".stripMargin
+      })
+    val baseExpr = seedLike match {
+      case None => "floor(1.5e8 / nn.n)"
+      case Some(pat) =>
+        s"CASE WHEN nod.node LIKE '$pat' THEN floor(1.5e8 / nn.n) ELSE 0 END"
+    }
     val rounds = (1 to iters).map { k =>
       s""",
          |s$k AS (SELECT r.node, CAST(floor(CAST(r.r AS DOUBLE) / d.od) AS BIGINT) AS s
          |  FROM r${k - 1} r JOIN dg d ON r.node = d.node),
          |c$k AS (SELECT e.dst AS node, CAST(sum(s.s) AS BIGINT) AS c
          |  FROM e JOIN s$k s ON e.src = s.node GROUP BY 1),
-         |r$k AS (SELECT nod.node, CAST(floor(1.5e8 / nn.n)
+         |r$k AS (SELECT nod.node, CAST($baseExpr
          |    + floor(CAST(coalesce(c.c, 0) AS DOUBLE) * CAST(85 AS DOUBLE) / CAST(100 AS DOUBLE)) AS BIGINT) AS r
          |  FROM nod CROSS JOIN nn LEFT JOIN c$k c ON nod.node = c.node)""".stripMargin
     }.mkString
@@ -2163,6 +2212,25 @@ object SparkEntry {
     // on identical BIGINTs; generated CTE chain (the ta_bpe_merges
     // unrolling pattern)
     "gr_pagerank" -> pageRankSql(4),
+    // personalized variant (T49): same generated chain, |S| and the
+    // start/teleport mass gated by the PERSON: seed predicate
+    "gr_pagerank_seeded" -> pageRankSql(4, seedLike = Some("PERSON:%")),
+    // snapshot-diff replay (T48): the oracle compares text equality
+    // directly where the operator compares fnv1a64(text) — mechanism-
+    // independent agreement (the hashed-vs-string gram-form doctrine)
+    "ta_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 7 <> 0),
+        |n AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  coalesce(n.source, o.source) AS source,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.text = n.text THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
     // BPE pair replay: corpus → distinct-word vocab with frequencies,
     // adjacent character pairs weighted by word freq, top-20 count-desc
     // with (l, r) ascending tie-break

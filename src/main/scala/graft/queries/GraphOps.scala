@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Graph centrality over the extraction's entity graph.
@@ -38,22 +38,46 @@ object GraphOps {
     * double-count contributions.
     */
   def pageRank(spark: SparkSession, edges: DataFrame, iters: Int = 4,
-      cpEvery: Int = 8): DataFrame = {
+      cpEvery: Int = 8): DataFrame =
+    run(spark, edges, iters, cpEvery, seedPred = None)
+
+  /** Personalized PageRank: the teleport mass lands ONLY on the seed
+    * nodes selected by `seedPred` (a predicate over the `node` column),
+    * so ranks measure importance RELATIVE to the seed topic (Page et al.
+    * 1999 §6's personalized vector, restricted to a uniform seed set —
+    * e.g. "which entities anchor this corpus as seen from its PERSON
+    * mentions"). Same exact integer arithmetic and per-round shape as
+    * [[pageRank]]: r₀ = ⌊1e9/|S|⌋ on seeds else 0, and each round adds
+    * ⌊1.5e8/|S|⌋ on seeds else 0 plus the floored damped in-mass.
+    * Non-seed components drain toward 0 — rank mass cannot enter a
+    * component with no seed, which is the semantics a topic-conditioned
+    * ranking wants. Requires at least one seed node in the graph. */
+  def pageRankSeeded(spark: SparkSession, edges: DataFrame, seedPred: Column,
+      iters: Int = 4, cpEvery: Int = 8): DataFrame =
+    run(spark, edges, iters, cpEvery, seedPred = Some(seedPred))
+
+  private def run(spark: SparkSession, edges: DataFrame, iters: Int,
+      cpEvery: Int, seedPred: Option[Column]): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val e = edges.select(col("src").cast("string").as("src"),
       col("dst").cast("string").as("dst")).persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
-    val n = nodes.count() // scalar action — node count, never row data
+    val isSeed = seedPred.getOrElse(lit(true))
+    val n = nodes.where(isSeed).count() // scalar action — seed/node count
     if (n == 0) {
       e.unpersist(); nodes.unpersist()
+      require(seedPred.isEmpty, "pageRankSeeded: no seed node is in the graph")
       return nodes.select(col("node"), lit(0L).as("rank_units"))
     }
     val deg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("od")).persist()
-    val base = math.floor(1.5e8 / n).toLong // (1-d)·SCALE/N, d = 0.85
+    // ⌊SCALE/|S|⌋ start mass and ⌊(1-d)·SCALE/|S|⌋ per-round teleport,
+    // landing on seeds only (uniform PageRank: every node is a seed)
+    val r0 = math.floor(1e9 / n).toLong
+    val base = math.floor(1.5e8 / n).toLong
     var ranks = nodes.select(col("node"),
-      lit(math.floor(1e9 / n).toLong).as("r"))
+      when(isSeed, lit(r0)).otherwise(lit(0L)).as("r"))
     var i = 0
     while (i < iters) {
       val shares = ranks.join(deg, "node")
@@ -61,7 +85,7 @@ object GraphOps {
       val contrib = e.join(shares.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node")).agg(sum(col("s")).as("c"))
       val next = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"), (lit(base) +
+        .select(col("node"), (when(isSeed, lit(base)).otherwise(lit(0L)) +
           floor(coalesce(col("c"), lit(0L)).cast("double") * 85.0 / 100.0)).as("r"))
       ranks = if ((i + 1) % cpEvery == 0) next.localCheckpoint(true) else next
       i += 1

@@ -1911,6 +1911,40 @@ object TrainingOps {
       .withColumn("keep", col("log_w") > 0)
   }
 
+  // -------------------------------------- corpus snapshot diff (T48)
+
+  /** Dataset-versioning diff between two corpus snapshots: per doc_id,
+    * `added` (new only), `removed` (old only), `changed` (both, text
+    * differs), `unchanged`. The audit face every training-data pipeline
+    * needs between crawl refreshes — which slice moved, by source —
+    * and the precondition for incremental recomputation (T41 re-dedups
+    * only `added`/`changed`; stored signatures/grams of `removed` docs
+    * are retired).
+    *
+    * Scale shape: each snapshot is read ONCE with the text column
+    * collapsed to its fnv1a64 IN THE SCAN PROJECTION — 16-byte rows enter
+    * the single full-outer equi-join on doc_id (fan-out 1 per side), so
+    * document bodies never shuffle. Comparing hashes instead of text is
+    * the scale form; a 64-bit collision (≈ 2⁻⁶⁴ per changed doc) can only
+    * mislabel one `changed` doc `unchanged`. The DuckDB oracle compares
+    * the text itself — mechanism-independent agreement, the
+    * hashed-vs-string gram-form doctrine. */
+  def snapshotDiff(spark: SparkSession, oldDocs: DataFrame,
+      newDocs: DataFrame): DataFrame = {
+    graft.functions.Fnv1a64Expr.register(spark)
+    def face(d: DataFrame, tag: String): DataFrame = d.select(
+      col("doc_id").cast("long").as("doc_id"),
+      col("source").as(s"src_$tag"),
+      expr("fnv1a64(text)").as(s"h_$tag"))
+    face(oldDocs, "old").join(face(newDocs, "new"), Seq("doc_id"), "full")
+      .select(col("doc_id"),
+        coalesce(col("src_new"), col("src_old")).as("source"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") === col("h_new"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   // ------------------------------- source distribution divergence (T47)
 
   /** Per-source distribution drift vs the corpus mixture: KL(source ‖

@@ -1386,18 +1386,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ------------------------------------------------- PageRank (T46)
 
-  /** Independent integer PageRank with the operator's exact arithmetic. */
-  private def refPageRank(edges: Seq[(String, String)], iters: Int): Map[String, Long] = {
+  /** Independent integer PageRank with the operator's exact arithmetic;
+    * `seed` restricts the start/teleport mass (uniform = every node). */
+  private def refPageRank(edges: Seq[(String, String)], iters: Int,
+      seed: String => Boolean = _ => true): Map[String, Long] = {
     val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
-    val n = nodes.size
+    val n = nodes.count(seed)
     val od = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
     val base = math.floor(1.5e8 / n).toLong
-    var r = nodes.map(_ -> math.floor(1e9 / n).toLong).toMap
+    var r = nodes.map(nd => nd -> (if (seed(nd)) math.floor(1e9 / n).toLong else 0L)).toMap
     for (_ <- 0 until iters) {
       val sh = r.map { case (k, v) => k -> math.floor(v.toDouble / od(k)).toLong }
       val c = edges.groupBy(_._2).map { case (d, es) => d -> es.map(e => sh(e._1)).sum }
       r = nodes.map(nd => nd ->
-        (base + math.floor(c.getOrElse(nd, 0L).toDouble * 85.0 / 100.0).toLong)).toMap
+        ((if (seed(nd)) base else 0L) +
+          math.floor(c.getOrElse(nd, 0L).toDouble * 85.0 / 100.0).toLong)).toMap
     }
     r
   }
@@ -1419,6 +1422,43 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // empty graph → empty result, no crash
     assert(graft.queries.GraphOps.pageRank(spark,
       Seq.empty[(String, String)].toDF("src", "dst")).count() == 0L)
+  }
+
+  test("pageRankSeeded: seed-gated teleport matches the reference; seedless components drain to 0") {
+    import spark.implicits._
+    // path a-b plus a disjoint pair x-y; seed = names starting with 'a'
+    val edges = Seq(("a", "b"), ("b", "a"), ("x", "y"), ("y", "x"))
+    val got = graft.queries.GraphOps.pageRankSeeded(spark,
+        edges.toDF("src", "dst"), col("node").startsWith("a"), iters = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == refPageRank(edges, 4, _.startsWith("a")))
+    assert(got("x") == 0L && got("y") == 0L) // no seed in the component → no mass
+    assert(got("a") > 0L && got("b") > 0L)
+    // no seed node in the graph → loud failure, not a silent zero table
+    val ex = intercept[IllegalArgumentException] {
+      graft.queries.GraphOps.pageRankSeeded(spark,
+        edges.toDF("src", "dst"), col("node").startsWith("zzz"))
+    }
+    assert(ex.getMessage.contains("no seed node"))
+  }
+
+  // -------------------------------------- snapshot diff (T48)
+
+  test("snapshotDiff labels added/removed/changed/unchanged; source coalesces to the surviving side") {
+    import spark.implicits._
+    val old = Seq((1L, "one", "s1"), (2L, "two", "s2"), (3L, "three", "s3"))
+      .toDF("doc_id", "text", "source")
+    val neu = Seq((2L, "two", "s2"), (3L, "THREE", "s3"), (4L, "four", "s4"))
+      .toDF("doc_id", "text", "source")
+    val got = TrainingOps.snapshotDiff(spark, old, neu).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(got == Map(
+      1L -> (("s1", "removed")), 2L -> (("s2", "unchanged")),
+      3L -> (("s3", "changed")), 4L -> (("s4", "added"))))
+    // identical snapshots → all unchanged
+    val same = TrainingOps.snapshotDiff(spark, old, old).collect()
+      .map(_.getString(2)).toSet
+    assert(same == Set("unchanged"))
   }
 
   // -------------------------------------- source divergence (T47)
