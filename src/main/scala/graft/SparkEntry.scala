@@ -974,6 +974,25 @@ object SparkEntry {
           col("node").startsWith("PERSON:"))
         .orderBy(col("rank_units").desc, col("node"))
     }),
+    // triangle statistics (T50, Suri & Vassilvitskii 2011): per-node
+    // degree + triangle counts via the degree-ordered node-iterator —
+    // wedge volume bounded E^1.5 on ANY graph, all-integer output
+    "gr_triangles" -> ((s, _) => {
+      val m = EntityLink.mentionsFromStore(
+          graft.core.TableIO.read(s, extractSpansStore(s)))
+        .select(col("doc_id"), col("entity_type"), col("norm")).distinct()
+      val p = m.as("a").join(m.as("b"),
+          col("a.doc_id") === col("b.doc_id") &&
+            (col("a.entity_type") < col("b.entity_type") ||
+              (col("a.entity_type") === col("b.entity_type") &&
+                col("a.norm") < col("b.norm"))))
+        .select(concat_ws(":", col("a.entity_type"), col("a.norm")).as("src"),
+          concat_ws(":", col("b.entity_type"), col("b.norm")).as("dst"))
+        .distinct()
+      GraphOps.triangleStats(s,
+          p.union(p.select(col("dst").as("src"), col("src").as("dst"))))
+        .orderBy(col("triangles").desc, col("node"))
+    }),
     // corpus snapshot diff (T48): two deterministic versions synthesized
     // from the documents table (v1 drops doc_id%7==0, v2 drops %5==0 and
     // appends ' v2' to %3==0 texts) — added/removed/changed/unchanged per
@@ -1057,19 +1076,49 @@ object SparkEntry {
     * With `seedLike`, replays [[GraphOps.pageRankSeeded]] instead: |S|
     * counts only matching nodes and start/teleport mass is gated by the
     * same LIKE predicate. */
+  /** Shared replay of the co-mention graph build (same mentions/pairs
+    * construction as the j6 replay): p = distinct canonical pairs whose
+    * src string sorts below dst (':' sorts below every entity-type char,
+    * so tuple order and concatenated-string order agree), e = both
+    * directions, nod = the node set. */
+  private val graphSqlHead: String =
+    """WITH m AS (SELECT DISTINCT doc_id, substr(kind, 8) AS entity_type,
+      |    lower(text) AS norm
+      |  FROM read_parquet('__WAREHOUSE__/graft_extract_spans/*.parquet')
+      |  WHERE kind LIKE 'entity:%'),
+      |p AS (SELECT DISTINCT a.entity_type || ':' || a.norm AS src,
+      |    b.entity_type || ':' || b.norm AS dst
+      |  FROM m a JOIN m b ON a.doc_id = b.doc_id
+      |    AND (a.entity_type < b.entity_type
+      |      OR (a.entity_type = b.entity_type AND a.norm < b.norm))),
+      |e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+      |nod AS (SELECT DISTINCT src AS node FROM e),""".stripMargin
+
+  /** Generated replay of [[GraphOps.triangleStats]]: degree-ordered
+    * orientation, wedge join over oriented out-neighbor pairs, closure
+    * against the canonical pair set, per-node unnest — all exact longs. */
+  private def triangleSql: String =
+    graphSqlHead + """
+      |deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY 1),
+      |o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND p.src < p.dst)
+      |      THEN p.src ELSE p.dst END AS u,
+      |    CASE WHEN da.d < db.d OR (da.d = db.d AND p.src < p.dst)
+      |      THEN p.dst ELSE p.src END AS v
+      |  FROM p JOIN deg da ON p.src = da.node JOIN deg db ON p.dst = db.node),
+      |w AS (SELECT e1.u AS u, e1.v AS v1, e2.v AS v2
+      |  FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v < e2.v),
+      |tri AS (SELECT u, v1, v2 FROM w JOIN p ON w.v1 = p.src AND w.v2 = p.dst),
+      |tn AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+      |    SELECT u AS node FROM tri UNION ALL SELECT v1 FROM tri
+      |    UNION ALL SELECT v2 FROM tri)
+      |  GROUP BY 1)
+      |SELECT n.node, CAST(d.d AS BIGINT) AS degree,
+      |  coalesce(tn.triangles, 0) AS triangles
+      |FROM nod n JOIN deg d ON n.node = d.node LEFT JOIN tn ON n.node = tn.node
+      |ORDER BY triangles DESC, n.node""".stripMargin
+
   private def pageRankSql(iters: Int, seedLike: Option[String] = None): String = {
-    val head =
-      """WITH m AS (SELECT DISTINCT doc_id, substr(kind, 8) AS entity_type,
-        |    lower(text) AS norm
-        |  FROM read_parquet('__WAREHOUSE__/graft_extract_spans/*.parquet')
-        |  WHERE kind LIKE 'entity:%'),
-        |p AS (SELECT DISTINCT a.entity_type || ':' || a.norm AS src,
-        |    b.entity_type || ':' || b.norm AS dst
-        |  FROM m a JOIN m b ON a.doc_id = b.doc_id
-        |    AND (a.entity_type < b.entity_type
-        |      OR (a.entity_type = b.entity_type AND a.norm < b.norm))),
-        |e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
-        |nod AS (SELECT DISTINCT src AS node FROM e),""".stripMargin +
+    val head = graphSqlHead +
       (seedLike match {
         case None => """
           |nn AS (SELECT count(*) AS n FROM nod),
@@ -2215,6 +2264,9 @@ object SparkEntry {
     // personalized variant (T49): same generated chain, |S| and the
     // start/teleport mass gated by the PERSON: seed predicate
     "gr_pagerank_seeded" -> pageRankSql(4, seedLike = Some("PERSON:%")),
+    // triangle replay (T50): degree-ordered orientation + wedge closure,
+    // exact longs end to end
+    "gr_triangles" -> triangleSql,
     // snapshot-diff replay (T48): the oracle compares text equality
     // directly where the operator compares fnv1a64(text) — mechanism-
     // independent agreement (the hashed-vs-string gram-form doctrine)

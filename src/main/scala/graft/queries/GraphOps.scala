@@ -56,6 +56,49 @@ object GraphOps {
       iters: Int = 4, cpEvery: Int = 8): DataFrame =
     run(spark, edges, iters, cpEvery, seedPred = Some(seedPred))
 
+  /** Per-node triangle counts + degree via the degree-ordered
+    * node-iterator (Suri & Vassilvitskii 2011, "Counting Triangles and the
+    * Curse of the Last Reducer" — the MapReduce-optimal shape): each
+    * undirected edge is oriented from its (degree, node)-smaller endpoint,
+    * wedges are pairs of ORIENTED out-neighbors, and a wedge closes iff
+    * its (v1 < v2) endpoints are a canonical edge — every triangle counted
+    * exactly once at its lowest-degree corner. Wedge volume is
+    * Σ outdeg² ≤ O(E^{3/2}) for ANY graph (the orientation caps outdeg at
+    * ~√(2E)) — the hot-node quadratic blowup a naive neighbor self-join
+    * has on co-mention hubs cannot happen. Output is all exact longs
+    * (node, degree, triangles) — the local clustering coefficient is
+    * 2·triangles/(degree·(degree−1)), left rational for the caller so no
+    * fp enters the operator.
+    *
+    * `edges` must be DISTINCT symmetric directed (src, dst) string pairs
+    * (the [[pageRank]] contract). */
+  def triangleStats(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src").cast("string").as("src"),
+      col("dst").cast("string").as("dst"))
+    val canon = e.where(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    val withDeg = canon
+      .join(deg.select(col("node").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("d").as("db")), "b")
+    val lowFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val o = withDeg.select(
+      when(lowFirst, col("a")).otherwise(col("b")).as("u"),
+      when(lowFirst, col("b")).otherwise(col("a")).as("v"))
+    val w = o.as("e1").join(o.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.u").as("u"), col("e1.v").as("v1"), col("e2.v").as("v2"))
+    val tri = w.join(canon, col("v1") === col("a") && col("v2") === col("b"))
+      .select(col("u"), col("v1"), col("v2"))
+    val perNode = tri
+      .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("d").cast("long").as("degree"),
+        coalesce(col("triangles"), lit(0L)).cast("long").as("triangles"))
+  }
+
   private def run(spark: SparkSession, edges: DataFrame, iters: Int,
       cpEvery: Int, seedPred: Option[Column]): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")

@@ -1442,6 +1442,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.contains("no seed node"))
   }
 
+  test("triangleStats: triangle+pendant hand case; K4 counts; hub wedge orientation") {
+    import spark.implicits._
+    def sym(pairs: Seq[(String, String)]) =
+      (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    // triangle a-b-c with pendant d on c
+    val g1 = graft.queries.GraphOps.triangleStats(spark,
+        sym(Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"))))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(g1 == Map("a" -> ((2L, 1L)), "b" -> ((2L, 1L)),
+      "c" -> ((3L, 1L)), "d" -> ((1L, 0L))))
+    // K4: every node degree 3, and every node sits in C(3,2) = 3 triangles
+    val k4 = for { x <- Seq("p", "q", "r", "s"); y <- Seq("p", "q", "r", "s")
+      if x < y } yield (x, y)
+    val g2 = graft.queries.GraphOps.triangleStats(spark, sym(k4))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(g2 == Set((3L, 3L)))
+    // star (no triangles): hub degree n, all triangle counts 0 — the
+    // degree-ordered orientation keeps the hub wedge-free
+    val star = (0 until 6).map(i => ("hub", s"leaf$i"))
+    val g3 = graft.queries.GraphOps.triangleStats(spark, sym(star))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(g3.values.forall(_ == 0L))
+    assert(g3.size == 7)
+  }
+
   // -------------------------------------- snapshot diff (T48)
 
   test("snapshotDiff labels added/removed/changed/unchanged; source coalesces to the surviving side") {
