@@ -913,6 +913,11 @@ object SparkEntry {
     // class per doc, holdout slice = honest accuracy readout
     "ta_nb_classify" -> ((s, d) =>
       TrainingOps.nbClassify(s, t(s, d, "documents")).orderBy(col("doc_id"))),
+    // confidence-AUC (T51, Mann-Whitney/Hand & Till): does the NB score
+    // rank correct holdout predictions above mistakes? Integer rank-sum
+    // via the T38 two-phase prefix — 1-row output, exact ratio 6dp
+    "ta_confidence_auc" -> ((s, d) =>
+      TrainingOps.confidenceAuc(s, t(s, d, "documents"))),
     // bigram LM with Stupid Backoff (T44, Brants et al. 2007): count
     // tables fit on the pmod!=0 split, per-doc avg ln-score + bigram hit
     // rate — the context-aware upgrade of the unigram perplexity faces
@@ -1093,6 +1098,44 @@ object SparkEntry {
       |      OR (a.entity_type = b.entity_type AND a.norm < b.norm))),
       |e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
       |nod AS (SELECT DISTINCT src AS node FROM e),""".stripMargin
+
+  /** Shared NB-classifier replay (the T42 FNV bucket ladder through the
+    * argmax), ending in the `nbout` CTE (doc_id, label, pred, score,
+    * correct, holdout) — consumed by `ta_nb_classify` and the T51 AUC. */
+  private val nbClassifySqlCore: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents),
+      |hb AS (
+      |  SELECT doc_id, ((CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+      |      THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) % 4096)
+      |    + 4096) % 4096 AS b
+      |  FROM (SELECT doc_id, list_reduce(
+      |      list_prepend(14695981039346656037::HUGEINT,
+      |        [unicode(tok[i])::HUGEINT for i in generate_series(1, length(tok))]),
+      |      (a, x) -> (xor(a, x) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+      |    ) AS hu FROM toks)),
+      |docb AS (SELECT doc_id, b, count(*) AS c FROM hb GROUP BY doc_id, b),
+      |train AS (SELECT doc_id, lang AS label FROM documents WHERE doc_id % 5 <> 0),
+      |classb AS (SELECT t.label, d.b, CAST(sum(d.c) AS BIGINT) AS n
+      |  FROM docb d JOIN train t ON d.doc_id = t.doc_id GROUP BY t.label, d.b),
+      |classtot AS (SELECT label, CAST(sum(n) AS BIGINT) AS nt FROM classb GROUP BY label),
+      |priors AS (SELECT label, CAST(count(*) AS BIGINT) AS nd FROM train GROUP BY label),
+      |ndt AS (SELECT CAST(sum(nd) AS BIGINT) AS ndt FROM priors),
+      |sc AS (SELECT d.doc_id, ct.label,
+      |    sum(d.c * (ln(CAST(coalesce(cb.n, 0) + 1 AS DOUBLE))
+      |      - ln(CAST(ct.nt + 4096 AS DOUBLE)))) AS ll
+      |  FROM docb d CROSS JOIN classtot ct
+      |  LEFT JOIN classb cb ON cb.label = ct.label AND cb.b = d.b
+      |  GROUP BY d.doc_id, ct.label),
+      |scored AS (SELECT sc.doc_id, sc.label,
+      |    floor((sc.ll + ln(CAST(p.nd AS DOUBLE) / ndt.ndt)) * 10000 + 0.5) / 10000 AS score
+      |  FROM sc JOIN priors p ON sc.label = p.label, ndt),
+      |pred AS (SELECT doc_id, label AS pred, score,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rn
+      |  FROM scored),
+      |nbout AS (SELECT d.doc_id, d.lang AS label, p.pred, p.score,
+      |    (p.pred = d.lang) AS correct, (d.doc_id % 5 = 0) AS holdout
+      |  FROM documents d JOIN pred p ON d.doc_id = p.doc_id AND p.rn = 1)""".stripMargin
 
   /** Generated replay of [[GraphOps.triangleStats]]: degree-ordered
     * orientation, wedge join over oriented out-neighbor pairs, closure
@@ -2109,41 +2152,35 @@ object SparkEntry {
     // ladder), per-class Laplace log-probs + priors on the doc_id%5<>0
     // split, per-(doc, class) score 4dp-quantized, argmax via
     // row_number(score DESC, label) — Spark's min(struct(-score, label))
-    "ta_nb_classify" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents),
-        |hb AS (
-        |  SELECT doc_id, ((CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
-        |      THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) % 4096)
-        |    + 4096) % 4096 AS b
-        |  FROM (SELECT doc_id, list_reduce(
-        |      list_prepend(14695981039346656037::HUGEINT,
-        |        [unicode(tok[i])::HUGEINT for i in generate_series(1, length(tok))]),
-        |      (a, x) -> (xor(a, x) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
-        |    ) AS hu FROM toks)),
-        |docb AS (SELECT doc_id, b, count(*) AS c FROM hb GROUP BY doc_id, b),
-        |train AS (SELECT doc_id, lang AS label FROM documents WHERE doc_id % 5 <> 0),
-        |classb AS (SELECT t.label, d.b, CAST(sum(d.c) AS BIGINT) AS n
-        |  FROM docb d JOIN train t ON d.doc_id = t.doc_id GROUP BY t.label, d.b),
-        |classtot AS (SELECT label, CAST(sum(n) AS BIGINT) AS nt FROM classb GROUP BY label),
-        |priors AS (SELECT label, CAST(count(*) AS BIGINT) AS nd FROM train GROUP BY label),
-        |ndt AS (SELECT CAST(sum(nd) AS BIGINT) AS ndt FROM priors),
-        |sc AS (SELECT d.doc_id, ct.label,
-        |    sum(d.c * (ln(CAST(coalesce(cb.n, 0) + 1 AS DOUBLE))
-        |      - ln(CAST(ct.nt + 4096 AS DOUBLE)))) AS ll
-        |  FROM docb d CROSS JOIN classtot ct
-        |  LEFT JOIN classb cb ON cb.label = ct.label AND cb.b = d.b
-        |  GROUP BY d.doc_id, ct.label),
-        |scored AS (SELECT sc.doc_id, sc.label,
-        |    floor((sc.ll + ln(CAST(p.nd AS DOUBLE) / ndt.ndt)) * 10000 + 0.5) / 10000 AS score
-        |  FROM sc JOIN priors p ON sc.label = p.label, ndt),
-        |pred AS (SELECT doc_id, label AS pred, score,
-        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rn
-        |  FROM scored)
-        |SELECT d.doc_id, d.lang AS label, p.pred, p.score,
-        |  (p.pred = d.lang) AS correct, (d.doc_id % 5 = 0) AS holdout
-        |FROM documents d JOIN pred p ON d.doc_id = p.doc_id AND p.rn = 1
-        |ORDER BY d.doc_id""".stripMargin,
+    "ta_nb_classify" -> (nbClassifySqlCore + """
+      |SELECT doc_id, label, pred, score, correct, holdout FROM nbout
+      |ORDER BY doc_id""".stripMargin),
+    // confidence-AUC replay (T51): per-distinct-score counts, the T38
+    // two-phase prefix (bucket subtotal window + intra-bucket window),
+    // integer 2R+ rank-sum, final integer-over-integer ratio 6dp
+    "ta_confidence_auc" -> (nbClassifySqlCore + """,
+      |h AS (SELECT score, CASE WHEN correct THEN 1 ELSE 0 END AS c
+      |  FROM nbout WHERE holdout),
+      |g AS (SELECT score, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(c) AS BIGINT) AS np FROM h GROUP BY score),
+      |g2 AS (SELECT score, n, np, CAST(floor(score) AS BIGINT) AS bkt FROM g),
+      |bt AS (SELECT bkt, CAST(sum(n) AS BIGINT) AS bn FROM g2 GROUP BY bkt),
+      |btp AS (SELECT bkt, CAST(coalesce(sum(bn) OVER (ORDER BY bkt
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pre
+      |  FROM bt),
+      |g3 AS (SELECT g2.np, g2.n, btp.pre + CAST(coalesce(sum(g2.n) OVER (
+      |      PARTITION BY g2.bkt ORDER BY g2.score
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cg
+      |  FROM g2 JOIN btp ON g2.bkt = btp.bkt),
+      |agg AS (SELECT CAST(sum(np * (2 * cg + n + 1)) AS BIGINT) AS r2,
+      |    CAST(sum(np) AS BIGINT) AS npos, CAST(sum(n) AS BIGINT) AS ntot
+      |  FROM g3)
+      |SELECT npos AS n_pos, ntot - npos AS n_neg,
+      |  CASE WHEN npos > 0 AND ntot - npos > 0 THEN
+      |    floor(CAST(r2 - npos * (npos + 1) AS DOUBLE)
+      |      / CAST(2 * npos * (ntot - npos) AS DOUBLE) * 1e6 + 0.5) / 1e6
+      |  ELSE NULL END AS auc
+      |FROM agg""".stripMargin),
     // DSIR replay: per-token FNV-1a64 HUGEINT fold (the ta_split_counts
     // pattern applied per token) → signed-pmod bucket, Laplace-smoothed
     // log-likelihood-ratio per bucket, Σ count·dlog per doc, 4dp quantized

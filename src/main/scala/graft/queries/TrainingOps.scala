@@ -2280,4 +2280,56 @@ object TrainingOps {
         (col("pred") === col("label")).as("correct"),
         (pmod(col("doc_id"), lit(holdMod.toLong)) === 0).as("holdout"))
   }
+
+  /** Distributed AUC of classifier CONFIDENCE vs correctness on the
+    * holdout slice (Mann–Whitney/Wilcoxon rank-sum; Hand & Till 2001's
+    * probabilistic reading): does [[nbClassify]]'s winning-class score
+    * rank its correct predictions above its mistakes? The evaluation
+    * telemetry that decides whether a confidence threshold is a usable
+    * quality gate. AUC = (2R⁺ − n⁺(n⁺+1)) / (2·n⁺·n⁻) with tie groups at
+    * their average rank — kept as INTEGER arithmetic (2R⁺ = Σ np·(2C+n+1))
+    * until one final integer-over-integer ratio, quantized 6dp
+    * floor-half-up: exact cross-engine, the qualityScore doctrine.
+    *
+    * Scale shape: the only corpus-sized work is ONE narrow aggregation to
+    * per-distinct-score (n, n_correct) rows (scores are already
+    * 4dp-quantized by [[nbClassify]]); global ranks come from the T38
+    * two-phase prefix sum — per-⌊score⌋-bucket subtotals (a buckets-sized
+    * table), a buckets-sized prefix window, and an intra-bucket window
+    * partitioned on the bucket — NO global single-partition sort ever
+    * touches score-distinct-sized data. Tie groups cannot span buckets
+    * (the bucket is a function of the score). Long arithmetic holds to
+    * ~3·10⁹ holdout rows (n⁺·n⁻ < 2⁶³); beyond that the two counts should
+    * aggregate as DECIMAL. */
+  def confidenceAuc(spark: SparkSession, docs: DataFrame,
+      labelCol: String = "lang", buckets: Int = 4096,
+      holdMod: Int = 5): DataFrame = {
+    val h = nbClassify(spark, docs, labelCol, buckets, holdMod)
+      .where(col("holdout"))
+      .select(col("score"), col("correct").cast("long").as("c"))
+    val g = h.groupBy(col("score"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("np"))
+      .withColumn("bkt", floor(col("score")).cast("long"))
+    val bt = g.groupBy(col("bkt")).agg(sum(col("n")).as("bn"))
+    // buckets-sized prefix (the T38 broadcast-group-prefix face); the
+    // unpartitioned window runs over ≤ score-range rows, never the corpus
+    val preW = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val btp = bt.select(col("bkt"),
+      coalesce(sum(col("bn")).over(preW), lit(0L)).as("pre"))
+    val inW = Window.partitionBy(col("bkt")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val g3 = g.join(broadcast(btp), Seq("bkt"))
+      .withColumn("cg", col("pre") + coalesce(sum(col("n")).over(inW), lit(0L)))
+    g3.agg(
+        sum(col("np") * (lit(2L) * col("cg") + col("n") + 1)).as("r2"),
+        sum(col("np")).as("npos"), sum(col("n")).as("ntot"))
+      .select(
+        col("npos").cast("long").as("n_pos"),
+        (col("ntot") - col("npos")).cast("long").as("n_neg"),
+        when(col("npos") > 0 && (col("ntot") - col("npos")) > 0,
+          floor((col("r2") - col("npos") * (col("npos") + 1)).cast("double") /
+            (lit(2L) * col("npos") * (col("ntot") - col("npos"))).cast("double")
+            * 1e6 + 0.5) / 1e6).as("auc"))
+  }
 }

@@ -1486,6 +1486,40 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(same == Set("unchanged"))
   }
 
+  test("confidenceAuc equals the brute-force pairwise Mann-Whitney on the holdout") {
+    import spark.implicits._
+    // 40 docs, two separable languages, a few deliberately confusable
+    val rows = (0L until 40L).map { i =>
+      val (txt, lang) =
+        if (i % 2 == 0) ("the quick brown fox and the lazy dog", "en")
+        else ("el gato y el perro de la casa", "es")
+      // make some holdout docs hard: mixed-language text keeps its label
+      if (i % 10 == 5) ("the fox y el gato of la casa", "es") match {
+        case (t, l) => (i, t, l, s"src${i % 3}")
+      }
+      else (i, txt, lang, s"src${i % 3}")
+    }
+    val docs = rows.toDF("doc_id", "text", "lang", "source")
+    val h = TrainingOps.nbClassify(spark, docs).where(col("holdout"))
+      .select(col("score"), col("correct")).collect()
+      .map(r => (r.getDouble(0), r.getBoolean(1)))
+    val pos = h.filter(_._2).map(_._1); val neg = h.filterNot(_._2).map(_._1)
+    val got = TrainingOps.confidenceAuc(spark, docs).collect().head
+    assert(got.getLong(0) == pos.length.toLong && got.getLong(1) == neg.length.toLong)
+    if (pos.nonEmpty && neg.nonEmpty) {
+      val num2 = pos.map(p => 2L * neg.count(p > _) + neg.count(p == _)).map(_.toLong).sum
+      val exp = math.floor(num2.toDouble / (2L * pos.length * neg.length) * 1e6 + 0.5) / 1e6
+      assert(got.getDouble(2) == exp)
+    }
+    // degenerate slice (single class) → null AUC, not a crash or a fake 0.5
+    val easy = (0L until 10L).map(i =>
+      (i, if (i % 2 == 0) "the the the" else "el el el",
+        if (i % 2 == 0) "en" else "es", "s")).toDF("doc_id", "text", "lang", "source")
+    val deg = TrainingOps.confidenceAuc(spark, easy).collect().head
+    assert(deg.getLong(0) + deg.getLong(1) == 2L) // ids 0,5 are held out
+    assert(deg.getLong(1) == 0L && deg.isNullAt(2)) // perfectly separable → no negatives → null
+  }
+
   // -------------------------------------- source divergence (T47)
 
   test("sourceDivergence: single source == corpus → zero; symmetric split ties; JS bounded") {
