@@ -124,21 +124,50 @@ object GraphScale {
           s"Map($hubRef -> $nStars, $leafRef -> ${nStars * 100})")
       assert(hubRef > leafRef, "hub must out-rank leaves")
 
+      // triangle rungs: disjoint 5-cliques (every node degree 4 with
+      // EXACTLY C(4,2) = 6 triangles) and the star forest (0 triangles —
+      // the degree-ordered orientation keeps hub wedges from exploding)
+      val nCl = n / 5
+      val cliqueEdges = {
+        import spark.implicits._
+        spark.range(0L, nCl).flatMap { c =>
+          val base = c * 5
+          for {
+            i <- 0 until 5; j <- 0 until 5 if i != j
+          } yield (s"c${base + i}", s"c${base + j}")
+        }.toDF("src", "dst")
+      }
+      val (cliqueHist, cliqueTriSec) = time {
+        graft.queries.GraphOps.triangleStats(spark, cliqueEdges)
+          .groupBy(col("degree"), col("triangles")).count().collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      }
+      assert(cliqueHist == Map((4L, 6L) -> (nCl * 5L)),
+        s"clique triangles: $cliqueHist != every node (degree 4, 6 triangles)")
+      val (starTriZero, starTriSec) = time {
+        graft.queries.GraphOps.triangleStats(spark, starEdges(spark, nStars))
+          .where(col("triangles") =!= 0L).count()
+      }
+      assert(starTriZero == 0L, s"star forest grew $starTriZero triangles")
+
       println(f"GRAPHSCALE n=$n%d iters=$iters chain_sec=$chainSec%.1f " +
         f"chain_mismatches=$mism stars=$nStars star_nodes=${nStars * 101}%d " +
-        f"star_sec=$starSec%.1f hub=$hubRef leaf=$leafRef")
-      (n, chainSec, starSec)
+        f"star_sec=$starSec%.1f hub=$hubRef leaf=$leafRef " +
+        f"clique_tri_sec=$cliqueTriSec%.1f star_tri_sec=$starTriSec%.1f")
+      (n, chainSec, starSec, cliqueTriSec, starTriSec)
     }
 
     if (rows.size >= 2) {
-      val (n0, c0, s0) = rows.head
-      val (n1, c1, s1) = rows.last
+      val (n0, c0, s0, ct0, st0) = rows.head
+      val (n1, c1, s1, ct1, st1) = rows.last
       val r = math.log(n1.toDouble / n0)
       def alpha(a: Double, b: Double): String =
         if (a <= 0 || b <= 0 || r == 0) "n/a" else f"${math.log(b / a) / r}%.2f"
       println(s"GRAPHSCALE growth n=$n0->$n1: chain_sec_alpha=${alpha(c0, c1)} " +
-        s"star_sec_alpha=${alpha(s0, s1)} (1.0 = linear in nodes~edges; " +
-        "rounds are FIXED, so any α > 1 is shuffle overhead, not algorithm)")
+        s"star_sec_alpha=${alpha(s0, s1)} clique_tri_alpha=${alpha(ct0, ct1)} " +
+        s"star_tri_alpha=${alpha(st0, st1)} (1.0 = linear in nodes~edges; " +
+        "PR rounds are FIXED and triangle wedge volume is per-node-bounded " +
+        "on both families, so any α > 1 is shuffle overhead, not algorithm)")
     }
     spark.stop()
   }
