@@ -942,62 +942,25 @@ object SparkEntry {
     "ret_bm25_topk" -> ((s, d) =>
       RetrievalOps.bm25TopK(t(s, d, "documents"), Seq("dup", "spark", "window"))),
     // PageRank over the entity co-occurrence graph (T46, Page et al.
-    // 1999): symmetric distinct co-mention edges from the spans store,
-    // exact integer arithmetic (1e9 rank units) — no fp caveat
-    "gr_pagerank" -> ((s, _) => {
-      val m = EntityLink.mentionsFromStore(
-          graft.core.TableIO.read(s, extractSpansStore(s)))
-        .select(col("doc_id"), col("entity_type"), col("norm")).distinct()
-      val p = m.as("a").join(m.as("b"),
-          col("a.doc_id") === col("b.doc_id") &&
-            (col("a.entity_type") < col("b.entity_type") ||
-              (col("a.entity_type") === col("b.entity_type") &&
-                col("a.norm") < col("b.norm"))))
-        .select(concat_ws(":", col("a.entity_type"), col("a.norm")).as("src"),
-          concat_ws(":", col("b.entity_type"), col("b.norm")).as("dst"))
-        .distinct()
-      GraphOps.pageRank(s,
-          p.union(p.select(col("dst").as("src"), col("src").as("dst"))))
-        .orderBy(col("rank_units").desc, col("node"))
-    }),
+    // 1999): symmetric co-mention edges with support >= 2 docs (the j6
+    // co_mentioned posture — single-doc co-mention is noise, and on this
+    // store it is 110× the edge volume and 2,600× the wedge volume of
+    // the supported graph), exact integer arithmetic — no fp caveat
+    "gr_pagerank" -> ((s, _) =>
+      GraphOps.pageRank(s, coMentionEdges(s))
+        .orderBy(col("rank_units").desc, col("node"))),
     // personalized PageRank (T49): teleport mass restricted to PERSON
     // nodes — entity importance as seen from the corpus's people
-    "gr_pagerank_seeded" -> ((s, _) => {
-      val m = EntityLink.mentionsFromStore(
-          graft.core.TableIO.read(s, extractSpansStore(s)))
-        .select(col("doc_id"), col("entity_type"), col("norm")).distinct()
-      val p = m.as("a").join(m.as("b"),
-          col("a.doc_id") === col("b.doc_id") &&
-            (col("a.entity_type") < col("b.entity_type") ||
-              (col("a.entity_type") === col("b.entity_type") &&
-                col("a.norm") < col("b.norm"))))
-        .select(concat_ws(":", col("a.entity_type"), col("a.norm")).as("src"),
-          concat_ws(":", col("b.entity_type"), col("b.norm")).as("dst"))
-        .distinct()
-      GraphOps.pageRankSeeded(s,
-          p.union(p.select(col("dst").as("src"), col("src").as("dst"))),
+    "gr_pagerank_seeded" -> ((s, _) =>
+      GraphOps.pageRankSeeded(s, coMentionEdges(s),
           col("node").startsWith("PERSON:"))
-        .orderBy(col("rank_units").desc, col("node"))
-    }),
+        .orderBy(col("rank_units").desc, col("node"))),
     // triangle statistics (T50, Suri & Vassilvitskii 2011): per-node
     // degree + triangle counts via the degree-ordered node-iterator —
     // wedge volume bounded E^1.5 on ANY graph, all-integer output
-    "gr_triangles" -> ((s, _) => {
-      val m = EntityLink.mentionsFromStore(
-          graft.core.TableIO.read(s, extractSpansStore(s)))
-        .select(col("doc_id"), col("entity_type"), col("norm")).distinct()
-      val p = m.as("a").join(m.as("b"),
-          col("a.doc_id") === col("b.doc_id") &&
-            (col("a.entity_type") < col("b.entity_type") ||
-              (col("a.entity_type") === col("b.entity_type") &&
-                col("a.norm") < col("b.norm"))))
-        .select(concat_ws(":", col("a.entity_type"), col("a.norm")).as("src"),
-          concat_ws(":", col("b.entity_type"), col("b.norm")).as("dst"))
-        .distinct()
-      GraphOps.triangleStats(s,
-          p.union(p.select(col("dst").as("src"), col("src").as("dst"))))
-        .orderBy(col("triangles").desc, col("node"))
-    }),
+    "gr_triangles" -> ((s, _) =>
+      GraphOps.triangleStats(s, coMentionEdges(s))
+        .orderBy(col("triangles").desc, col("node"))),
     // corpus snapshot diff (T48): two deterministic versions synthesized
     // from the documents table (v1 drops doc_id%7==0, v2 drops %5==0 and
     // appends ' v2' to %3==0 texts) — added/removed/changed/unchanged per
@@ -1081,21 +1044,35 @@ object SparkEntry {
     * With `seedLike`, replays [[GraphOps.pageRankSeeded]] instead: |S|
     * counts only matching nodes and start/teleport mass is gated by the
     * same LIKE predicate. */
-  /** Shared replay of the co-mention graph build (same mentions/pairs
-    * construction as the j6 replay): p = distinct canonical pairs whose
-    * src string sorts below dst (':' sorts below every entity-type char,
-    * so tuple order and concatenated-string order agree), e = both
-    * directions, nod = the node set. */
+  /** Shared co-mention edge build for the graph queries: canonical pairs
+    * with support >= 2 documents (exactly [[EntityLink.cooccurrenceFrom]]'s
+    * `co_mentioned` threshold — the single-doc co-mention noise floor is
+    * 110× the edge volume on this store), symmetrized. The canonical src
+    * string sorts below dst (':' sorts below every entity-type char, so
+    * tuple order and concatenated-string order agree). */
+  private def coMentionEdges(s: SparkSession): DataFrame = {
+    val co = EntityLink.cooccurrenceFrom(
+      EntityLink.mentionsFromStore(
+        graft.core.TableIO.read(s, extractSpansStore(s))), minDocs = 2)
+    val p = co.select(
+      concat_ws(":", col("type_a"), col("norm_a")).as("src"),
+      concat_ws(":", col("type_b"), col("norm_b")).as("dst"))
+    p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** Shared replay of [[coMentionEdges]]: p = canonical pairs with
+    * support >= 2, e = both directions, nod = the node set. */
   private val graphSqlHead: String =
     """WITH m AS (SELECT DISTINCT doc_id, substr(kind, 8) AS entity_type,
       |    lower(text) AS norm
       |  FROM read_parquet('__WAREHOUSE__/graft_extract_spans/*.parquet')
       |  WHERE kind LIKE 'entity:%'),
-      |p AS (SELECT DISTINCT a.entity_type || ':' || a.norm AS src,
+      |p AS (SELECT a.entity_type || ':' || a.norm AS src,
       |    b.entity_type || ':' || b.norm AS dst
       |  FROM m a JOIN m b ON a.doc_id = b.doc_id
       |    AND (a.entity_type < b.entity_type
-      |      OR (a.entity_type = b.entity_type AND a.norm < b.norm))),
+      |      OR (a.entity_type = b.entity_type AND a.norm < b.norm))
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
       |e AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
       |nod AS (SELECT DISTINCT src AS node FROM e),""".stripMargin
 

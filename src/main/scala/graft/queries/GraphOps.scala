@@ -75,9 +75,14 @@ object GraphOps {
   def triangleStats(spark: SparkSession, edges: DataFrame): DataFrame = {
     val e = edges.select(col("src").cast("string").as("src"),
       col("dst").cast("string").as("dst"))
+    // canon feeds the orientation AND the closure join, deg feeds the
+    // orientation twice plus the output, o self-joins — persist each or
+    // the upstream edge build re-executes once per consumer (measured 3×
+    // wall on the bench-face co-mention graph before the persists landed)
     val canon = e.where(col("src") < col("dst"))
-      .select(col("src").as("a"), col("dst").as("b"))
+      .select(col("src").as("a"), col("dst").as("b")).persist()
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+      .persist()
     val withDeg = canon
       .join(deg.select(col("node").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("node").as("b"), col("d").as("db")), "b")
@@ -85,7 +90,7 @@ object GraphOps {
       (col("da") === col("db") && col("a") < col("b"))
     val o = withDeg.select(
       when(lowFirst, col("a")).otherwise(col("b")).as("u"),
-      when(lowFirst, col("b")).otherwise(col("a")).as("v"))
+      when(lowFirst, col("b")).otherwise(col("a")).as("v")).persist()
     val w = o.as("e1").join(o.as("e2"),
         col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
       .select(col("e1.u").as("u"), col("e1.v").as("v1"), col("e2.v").as("v2"))
@@ -94,9 +99,13 @@ object GraphOps {
     val perNode = tri
       .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
-    deg.join(perNode, Seq("node"), "left")
+    // eager-truncate, then release the helpers (the pageRank doctrine)
+    val out = deg.join(perNode, Seq("node"), "left")
       .select(col("node"), col("d").cast("long").as("degree"),
         coalesce(col("triangles"), lit(0L)).cast("long").as("triangles"))
+      .localCheckpoint(true)
+    canon.unpersist(); deg.unpersist(); o.unpersist()
+    out
   }
 
   private def run(spark: SparkSession, edges: DataFrame, iters: Int,
