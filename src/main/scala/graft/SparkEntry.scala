@@ -1037,13 +1037,6 @@ object SparkEntry {
   // dd_{minhash,simhash,ngram}_stored are the same computations over a
   // materialized signature/fingerprint/shingle table — each shares its
   // lazy twin's oracle verbatim (appended at the end)
-  /** Generated CTE chain replaying [[GraphOps.pageRank]]'s fixed-count
-    * integer iterations over the co-mention graph (same mentions/pairs
-    * construction as the j6 replay): s_k = per-node floored share,
-    * c_k = summed incoming shares, r_k = base + floored damped mass.
-    * With `seedLike`, replays [[GraphOps.pageRankSeeded]] instead: |S|
-    * counts only matching nodes and start/teleport mass is gated by the
-    * same LIKE predicate. */
   /** Shared co-mention edge build for the graph queries: canonical pairs
     * with support >= 2 documents (exactly [[EntityLink.cooccurrenceFrom]]'s
     * `co_mentioned` threshold — the single-doc co-mention noise floor is
@@ -1137,6 +1130,13 @@ object SparkEntry {
       |FROM nod n JOIN deg d ON n.node = d.node LEFT JOIN tn ON n.node = tn.node
       |ORDER BY triangles DESC, n.node""".stripMargin
 
+  /** Generated CTE chain replaying [[GraphOps.pageRank]]'s fixed-count
+    * integer iterations over the co-mention graph (same mentions/pairs
+    * construction as the j6 replay): s_k = per-node floored share,
+    * c_k = summed incoming shares, r_k = base + floored damped mass.
+    * With `seedLike`, replays [[GraphOps.pageRankSeeded]] instead: |S|
+    * counts only matching nodes and start/teleport mass is gated by the
+    * same LIKE predicate. */
   private def pageRankSql(iters: Int, seedLike: Option[String] = None): String = {
     val head = graphSqlHead +
       (seedLike match {
@@ -2293,7 +2293,7 @@ object SparkEntry {
         |  coalesce(n.source, o.source) AS source,
         |  CASE WHEN o.doc_id IS NULL THEN 'added'
         |       WHEN n.doc_id IS NULL THEN 'removed'
-        |       WHEN o.text = n.text THEN 'unchanged'
+        |       WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM o FULL JOIN n ON o.doc_id = n.doc_id
         |ORDER BY doc_id""".stripMargin,

@@ -111,6 +111,7 @@ object GraphOps {
   private def run(spark: SparkSession, edges: DataFrame, iters: Int,
       cpEvery: Int, seedPred: Option[Column]): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(cpEvery > 0, s"cpEvery must be > 0, got $cpEvery")
     val e = edges.select(col("src").cast("string").as("src"),
       col("dst").cast("string").as("dst")).persist()
     val nodes = e.select(col("src").as("node"))

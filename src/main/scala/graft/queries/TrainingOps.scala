@@ -1932,16 +1932,21 @@ object TrainingOps {
   def snapshotDiff(spark: SparkSession, oldDocs: DataFrame,
       newDocs: DataFrame): DataFrame = {
     graft.functions.Fnv1a64Expr.register(spark)
+    // presence comes from a per-side literal marker, NOT the hash — a
+    // NULL text hashes to NULL and would masquerade as row absence; the
+    // null-safe <=> then treats two NULL texts as unchanged, matching a
+    // text-comparing oracle's IS NOT DISTINCT FROM
     def face(d: DataFrame, tag: String): DataFrame = d.select(
       col("doc_id").cast("long").as("doc_id"),
       col("source").as(s"src_$tag"),
-      expr("fnv1a64(text)").as(s"h_$tag"))
+      expr("fnv1a64(text)").as(s"h_$tag"),
+      lit(true).as(s"in_$tag"))
     face(oldDocs, "old").join(face(newDocs, "new"), Seq("doc_id"), "full")
       .select(col("doc_id"),
         coalesce(col("src_new"), col("src_old")).as("source"),
-        when(col("h_old").isNull, "added")
-          .when(col("h_new").isNull, "removed")
-          .when(col("h_old") === col("h_new"), "unchanged")
+        when(col("in_old").isNull, "added")
+          .when(col("in_new").isNull, "removed")
+          .when(col("h_old") <=> col("h_new"), "unchanged")
           .otherwise("changed").as("status"))
   }
 

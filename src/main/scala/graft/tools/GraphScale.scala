@@ -100,6 +100,9 @@ object GraphScale {
     GraphOps.pageRank(spark, chainEdges(spark, 500), iters).count()
 
     val rows = sizes.map { n =>
+      require(n >= 101 && n <= Int.MaxValue,
+        s"GRAPHSCALE_SIZES entries must be in [101, 2^31): got $n " +
+          "(star family needs >= 1 star; chainRef indexes an Int array)")
       val (chainOut, chainSec) =
         time { val d = GraphOps.pageRank(spark, chainEdges(spark, n), iters); d.count(); d }
       val ref = chainRef(n.toInt, iters)

@@ -1484,6 +1484,17 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val same = TrainingOps.snapshotDiff(spark, old, old).collect()
       .map(_.getString(2)).toSet
     assert(same == Set("unchanged"))
+    // NULL text must not masquerade as row absence: present-in-both with
+    // NULL text on both sides is unchanged, NULL-vs-text is changed, and
+    // an old-only NULL-text doc is removed (presence comes from a marker
+    // column, not the hash)
+    val oN = Seq((1L, null.asInstanceOf[String], "s1"), (2L, null.asInstanceOf[String], "s2"),
+      (3L, "t", "s3")).toDF("doc_id", "text", "source")
+    val nN = Seq((2L, null.asInstanceOf[String], "s2"), (3L, null.asInstanceOf[String], "s3"))
+      .toDF("doc_id", "text", "source")
+    val gotN = TrainingOps.snapshotDiff(spark, oN, nN).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(gotN == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed"))
   }
 
   test("confidenceAuc equals the brute-force pairwise Mann-Whitney on the holdout") {
