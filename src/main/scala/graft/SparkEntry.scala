@@ -631,6 +631,12 @@ object SparkEntry {
     }),
     "dd_ngram_jaccard" -> ((s, d) => TrainingOps.ngramJaccardPairs(s, t(s, d, "documents"), minJaccard = 0.02)
       .orderBy(col("doc_a"), col("doc_b"))),
+    // asymmetric containment (T52, Broder 1997): the quote/subset
+    // detector — a small doc embedded in a big one has tiny Jaccard but
+    // containment ~1.0; shares the same posting-list pair base
+    "dd_ngram_containment" -> ((s, d) =>
+      TrainingOps.ngramContainmentPairs(s, t(s, d, "documents"), minContainment = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))),
 
     // the n-gram family's stored path (mirrors dd_minhash_stored): shingle
     // table written once through TableIO (marker-gated), pair generation
@@ -1581,6 +1587,28 @@ object SparkEntry {
         |  floor(CAST(i AS DOUBLE) / (za.sz + zb.sz - i) * 10000 + 0.5) / 10000 AS jaccard
         | FROM inter JOIN sizes za ON doc_a = za.doc_id JOIN sizes zb ON doc_b = zb.doc_id)
         |WHERE jaccard >= 0.02 ORDER BY doc_a, doc_b""".stripMargin,
+    // containment replay (T52): same shingle/pair CTEs, both asymmetric
+    // ratios, max-gated at 0.5
+    "dd_ngram_containment" ->
+      """WITH toks AS (
+        | SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |  ELSE list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                      for i in generate_series(1, len(t)-2)]) END) AS s
+        | FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        | FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, containment_a, containment_b FROM (
+        | SELECT doc_a, doc_b,
+        |  floor(CAST(i AS DOUBLE) / za.sz * 10000 + 0.5) / 10000 AS containment_a,
+        |  floor(CAST(i AS DOUBLE) / zb.sz * 10000 + 0.5) / 10000 AS containment_b
+        | FROM inter JOIN sizes za ON doc_a = za.doc_id JOIN sizes zb ON doc_b = zb.doc_id)
+        |WHERE greatest(containment_a, containment_b) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // same shingle/pair pipeline as dd_ngram_jaccard (rounded-then-filtered
     // at 0.5, matching the engine), then transitive closure by recursive
     // label propagation: seed every node with its own id, propagate labels

@@ -415,6 +415,12 @@ object TrainingOps {
       n: Int = 3, minJaccard: Double = 0.05, maxDf: Int = 10000): DataFrame =
     ngramJaccardFromShingles(spark, ngramShingles(spark, docs, n), minJaccard, maxDf)
 
+  /** Lazy single-query face of [[ngramContainmentFromShingles]] (T52). */
+  def ngramContainmentPairs(spark: SparkSession, docs: DataFrame,
+      n: Int = 3, minContainment: Double = 0.5, maxDf: Int = 10000): DataFrame =
+    ngramContainmentFromShingles(spark, ngramShingles(spark, docs, n),
+      minContainment, maxDf)
+
   /** The exploded shingle table (doc_id, sh) — the n-gram family's
     * materialization seam, mirroring [[minhashSignatures]] /
     * [[simhashFingerprints]]: write once (`TableIO.write`) and run pair
@@ -444,7 +450,44 @@ object TrainingOps {
     * [[minhashPairs]]) and resolves clusters with [[connectedComponents]],
     * the composition `tools/CurationScale` runs at 1M docs. */
   def ngramJaccardFromShingles(spark: SparkSession, shAll: DataFrame,
-      minJaccard: Double = 0.05, maxDf: Int = 10000): DataFrame = {
+      minJaccard: Double = 0.05, maxDf: Int = 10000): DataFrame =
+    ngramPairBase(spark, shAll, maxDf)
+      .select(col("doc_a"), col("doc_b"),
+        // jaccard is a ratio of exact integers — it CAN land exactly on a
+        // .xxxx5 boundary (e.g. |A∩B|/|A∪B| = 1/32), where Spark round()
+        // and DuckDB round() disagree; floor half-up is engine-identical.
+        // NB the floor(x·10⁴+0.5)/10⁴ form is half-up for x ≥ 0 only (for
+        // x < 0 it rounds the .xxxx5 tie toward +inf) — fine across the
+        // whole similarity family: every graded column is non-negative or
+        // filtered at a positive minimum before the tie matters
+        (floor(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")) * 1e4 + 0.5) / 1e4).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+
+  /** Asymmetric n-gram CONTAINMENT pairs (Broder 1997, "On the
+    * resemblance and containment of documents": c(A,B) = |S(A)∩S(B)| /
+    * |S(A)|) — the quote/subset detector symmetric Jaccard misses: a
+    * 50-word doc fully embedded in a 5,000-word doc has Jaccard ≈ 0.01
+    * but containment ≈ 1.0. Emits both directions per pair; `flag` is
+    * the max. Shares [[ngramPairBase]]'s exact posting-list machinery
+    * (df-capped with the same dropped-shingle audit), so the scale
+    * envelope and the bench-face/scale-face split are identical to
+    * [[ngramJaccardFromShingles]]. */
+  def ngramContainmentFromShingles(spark: SparkSession, shAll: DataFrame,
+      minContainment: Double = 0.5, maxDf: Int = 10000): DataFrame =
+    ngramPairBase(spark, shAll, maxDf)
+      .select(col("doc_a"), col("doc_b"),
+        (floor(col("inter").cast("double") / col("sz_a") * 1e4 + 0.5) / 1e4)
+          .as("containment_a"),
+        (floor(col("inter").cast("double") / col("sz_b") * 1e4 + 0.5) / 1e4)
+          .as("containment_b"))
+      .where(greatest(col("containment_a"), col("containment_b")) >= minContainment)
+
+  /** Shared pair base for the n-gram similarity family: (doc_a, doc_b,
+    * inter, sz_a, sz_b) with |A∩B| from the df-capped posting lists (see
+    * [[ngramJaccardFromShingles]]'s scale envelope note). */
+  private[graft] def ngramPairBase(spark: SparkSession, shAll: DataFrame,
+      maxDf: Int): DataFrame = {
     import spark.implicits._
 
     // With a cap, prefilter hot shingles by df FIRST (a count aggregation —
@@ -483,17 +526,8 @@ object TrainingOps {
     inter
       .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
       .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        // jaccard is a ratio of exact integers — it CAN land exactly on a
-        // .xxxx5 boundary (e.g. |A∩B|/|A∪B| = 1/32), where Spark round()
-        // and DuckDB round() disagree; floor half-up is engine-identical.
-        // NB the floor(x·10⁴+0.5)/10⁴ form is half-up for x ≥ 0 only (for
-        // x < 0 it rounds the .xxxx5 tie toward +inf) — fine across the
-        // whole similarity family: every graded column is non-negative or
-        // filtered at a positive minimum before the tie matters
-        (floor(col("inter").cast("double") /
-          (col("za.sz") + col("zb.sz") - col("inter")) * 1e4 + 0.5) / 1e4).as("jaccard"))
-      .where(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        col("za.sz").as("sz_a"), col("zb.sz").as("sz_b"))
   }
 
   // --------------------------------------------------- cluster resolution

@@ -1330,6 +1330,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == naive)
   }
 
+  test("ngramContainmentPairs: full embedding scores 1.0 asymmetrically; disjoint pairs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),                  // 3 tri-shingles, all inside doc 2
+      (2L, "a b c d e f g h i j"),        // 8 tri-shingles
+      (3L, "x y z w v u t")).toDF("doc_id", "text")
+    val got = graft.queries.TrainingOps.ngramContainmentPairs(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got == Map((1L, 2L) -> ((1.0, 0.375)))) // c(A,B)=3/3, c(B,A)=3/8; doc 3 disjoint
+    // the same pair's Jaccard is only 3/8 — containment sees what Jaccard misses
+    val j = graft.queries.TrainingOps.ngramJaccardPairs(spark, docs, minJaccard = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) == 0.375)
+  }
+
   // ---------------------------------------------- BM25 retrieval (T45)
 
   /** Independent plain-Scala BM25 with the operator's exact expression
