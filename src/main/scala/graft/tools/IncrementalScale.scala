@@ -51,8 +51,14 @@ object IncrementalScale {
     s"w${math.floorMod(h, 50000L)}"
   }
 
+  // INCRSCALE_WORDS scales per-doc length (default 40 — the historical
+  // rungs; production documents are KBs, and the shingle term the
+  // incremental path avoids grows with it)
+  private val wordsPerDoc: Int =
+    sys.env.getOrElse("INCRSCALE_WORDS", "40").toInt
+
   private def text(tag: String, i: Long): String =
-    (0 until 40).map(w => word(s"$tag$i:$w")).mkString(" ")
+    (0 until wordsPerDoc).map(w => word(s"$tag$i:$w")).mkString(" ")
 
   def storeDocs(spark: SparkSession, n: Long): DataFrame = {
     import spark.implicits._
@@ -176,6 +182,81 @@ object IncrementalScale {
         s"incr_sec_alpha=${alpha(i0, i1)} full_sec_alpha=${alpha(f0, f1)} " +
         s"(1.0 = linear in STORE size)")
     }
+    // Scenario C — the T48→T41 REFRESH composition: a new corpus VERSION
+    // arrives (removals, radical rewrites, additions); snapshotDiff
+    // isolates the delta (added ∪ changed) and ONLY the delta flows
+    // through incrementalAdmit against the v1 signature store — vs
+    // re-deduping the whole v2 from text. Every count is an exact assert:
+    // removals = ids%remMod==0 (~1%), rewrites = %chMod==0 surviving
+    // (~1%), adds carry an exact store copy every 10th (distinct store
+    // targets by construction, so expected full-pairs is closed-form).
+    {
+      import spark.implicits._
+      val addN = sys.env.getOrElse("INCRSCALE_REFRESH_ADDS", "20000").toLong
+      // production refresh churn: ~1% removals, ~1% radical rewrites
+      val remMod = sys.env.getOrElse("INCRSCALE_REFRESH_REM_MOD", "101").toLong
+      val chMod = sys.env.getOrElse("INCRSCALE_REFRESH_CH_MOD", "97").toLong
+      require(addN * 7 < storeN * 10, "copy targets must stay distinct")
+      val v1 = storeDocs(spark, storeN).withColumn("source", lit("s"))
+      val v2docs = spark.range(0L, storeN).flatMap { i =>
+        if (i % remMod == 0) None
+        else if (i % chMod == 0) Some((i, text("c", i))) // radical rewrite
+        else Some((i, text("s", i)))
+      }.toDF("doc_id", "text")
+      val adds = spark.range(0L, addN).map { j =>
+        val id = storeN + j
+        if (j % 10 == 0) (id, text("s", (j * 7) % storeN)) // exact store copy
+        else (id, text("a", j))
+      }.toDF("doc_id", "text")
+      // materialize both versions as tables (untimed): in production the
+      // snapshots ARE parquet tables; leaving them as lazy generators
+      // would re-pay the synthetic text() per scan and charge the
+      // multi-scan refresh path for generator recompute, not real work
+      val v1Path = s"${base.getAbsolutePath}/refresh_v1"
+      val v2Path = s"${base.getAbsolutePath}/refresh_v2"
+      TableIO.write(v1, v1Path)
+      TableIO.write(v2docs.unionAll(adds).withColumn("source", lit("s")), v2Path)
+      val v1t = TableIO.read(spark, v1Path)
+      val v2t = TableIO.read(spark, v2Path)
+      val nRem = (storeN - 1) / remMod + 1
+      val nCh = ((storeN - 1) / chMod + 1) - ((storeN - 1) / (remMod * chMod) + 1)
+      val (diffCounts, diffSec) = time {
+        TrainingOps.snapshotDiff(spark, v1t, v2t)
+          .groupBy(col("status")).count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+      assert(diffCounts == Map("removed" -> nRem, "changed" -> nCh,
+        "added" -> addN, "unchanged" -> (storeN - nRem - nCh)),
+        s"refresh diff $diffCounts != exact expectation")
+      val nCopies = (addN + 9) / 10
+      val (deltaAdmitted, refreshSec) = time {
+        val deltaIds = TrainingOps.snapshotDiff(spark, v1t, v2t)
+          .where(col("status").isin("added", "changed")).select(col("doc_id"))
+        val delta = v2t.join(deltaIds, "doc_id").select(col("doc_id"), col("text"))
+        TrainingOps.incrementalAdmit(spark, delta,
+          TableIO.read(spark, sigPath), minSim = 0.5).count()
+      }
+      assert(deltaAdmitted == nCh + addN - nCopies,
+        s"refresh delta admitted $deltaAdmitted != ${nCh + addN - nCopies}")
+      // the alternative: re-dedup all of v2 from text; expected pairs =
+      // copies whose store target SURVIVES UNCHANGED in v2
+      val expFull = (0L until addN).count(j =>
+        j % 10 == 0 && { val k = (j * 7) % storeN
+          k % remMod != 0 && k % chMod != 0 }).toLong
+      val (fullPairs2, fullSec2) = time {
+        TrainingOps.minhashPairs(spark,
+          v2t.select(col("doc_id"), col("text")), minSim = 0.5).count()
+      }
+      assert(fullPairs2 == expFull, s"refresh full pairs $fullPairs2 != $expFull")
+      val deltaSize = nCh + addN
+      val v2Size = storeN - nRem + addN
+      println(f"INCRSCALE refresh store=$storeN%d adds=$addN%d " +
+        f"delta=$deltaSize%d v2=$v2Size%d diff_sec=$diffSec%.1f " +
+        f"refresh_sec=$refreshSec%.1f full_sec=$fullSec2%.1f " +
+        f"speedup=${fullSec2 / refreshSec}%.1f " +
+        f"(removed=$nRem changed=$nCh admitted=$deltaAdmitted)")
+    }
+
     spark.stop()
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles.foreach(rm)
