@@ -955,6 +955,12 @@ object SparkEntry {
     "gr_pagerank" -> ((s, _) =>
       GraphOps.pageRank(s, coMentionEdges(s))
         .orderBy(col("rank_units").desc, col("node"))),
+    // weight-proportional PageRank (T53): out-mass splits by co-mention
+    // support n_docs — strength-aware centrality, bit-identical to
+    // gr_pagerank when all weights are equal (OpsSpec pins that)
+    "gr_pagerank_weighted" -> ((s, _) =>
+      GraphOps.pageRankWeighted(s, coMentionWeightedEdges(s))
+        .orderBy(col("rank_units").desc, col("node"))),
     // personalized PageRank (T49): teleport mass restricted to PERSON
     // nodes — entity importance as seen from the corpus's people
     "gr_pagerank_seeded" -> ((s, _) =>
@@ -1057,6 +1063,53 @@ object SparkEntry {
       concat_ws(":", col("type_a"), col("norm_a")).as("src"),
       concat_ws(":", col("type_b"), col("norm_b")).as("dst"))
     p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** [[coMentionEdges]] carrying the co-mention support as the edge
+    * weight (T53's input). */
+  private def coMentionWeightedEdges(s: SparkSession): DataFrame = {
+    val co = EntityLink.cooccurrenceFrom(
+      EntityLink.mentionsFromStore(
+        graft.core.TableIO.read(s, extractSpansStore(s))), minDocs = 2)
+    val p = co.select(
+      concat_ws(":", col("type_a"), col("norm_a")).as("src"),
+      concat_ws(":", col("type_b"), col("norm_b")).as("dst"),
+      col("n_docs").as("w"))
+    p.union(p.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+  }
+
+  /** Generated replay of [[GraphOps.pageRankWeighted]]: the graph head
+    * keeps the pair support as the edge weight, shares are per-edge
+    * ⌊r·w/W⌋, rounds otherwise identical to [[pageRankSql]]. */
+  private def pageRankWeightedSql(iters: Int): String = {
+    val head =
+      """WITH m AS (SELECT DISTINCT doc_id, substr(kind, 8) AS entity_type,
+        |    lower(text) AS norm
+        |  FROM read_parquet('__WAREHOUSE__/graft_extract_spans/*.parquet')
+        |  WHERE kind LIKE 'entity:%'),
+        |p AS (SELECT a.entity_type || ':' || a.norm AS src,
+        |    b.entity_type || ':' || b.norm AS dst, CAST(count(*) AS BIGINT) AS w
+        |  FROM m a JOIN m b ON a.doc_id = b.doc_id
+        |    AND (a.entity_type < b.entity_type
+        |      OR (a.entity_type = b.entity_type AND a.norm < b.norm))
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT src, dst, w FROM p UNION ALL SELECT dst, src, w FROM p),
+        |nod AS (SELECT DISTINCT src AS node FROM e),
+        |nn AS (SELECT count(*) AS n FROM nod),
+        |wt AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS wt FROM e GROUP BY 1),
+        |r0 AS (SELECT node, CAST(floor(1e9 / nn.n) AS BIGINT) AS r
+        |  FROM nod CROSS JOIN nn)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s""",
+         |c$k AS (SELECT e.dst AS node,
+         |    CAST(sum(CAST(floor(CAST(r.r AS DOUBLE) * e.w / wt.wt) AS BIGINT)) AS BIGINT) AS c
+         |  FROM e JOIN r${k - 1} r ON e.src = r.node JOIN wt ON e.src = wt.node GROUP BY 1),
+         |r$k AS (SELECT nod.node, CAST(floor(1.5e8 / nn.n)
+         |    + floor(CAST(coalesce(c.c, 0) AS DOUBLE) * CAST(85 AS DOUBLE) / CAST(100 AS DOUBLE)) AS BIGINT) AS r
+         |  FROM nod CROSS JOIN nn LEFT JOIN c$k c ON nod.node = c.node)""".stripMargin
+    }.mkString
+    head + rounds +
+      s"\nSELECT node, r AS rank_units FROM r$iters ORDER BY rank_units DESC, node"
   }
 
   /** Shared replay of [[coMentionEdges]]: p = canonical pairs with
@@ -2303,6 +2356,8 @@ object SparkEntry {
     // on identical BIGINTs; generated CTE chain (the ta_bpe_merges
     // unrolling pattern)
     "gr_pagerank" -> pageRankSql(4),
+    // weighted replay (T53): per-edge floored shares over summed weights
+    "gr_pagerank_weighted" -> pageRankWeightedSql(4),
     // personalized variant (T49): same generated chain, |S| and the
     // start/teleport mass gated by the PERSON: seed predicate
     "gr_pagerank_seeded" -> pageRankSql(4, seedLike = Some("PERSON:%")),

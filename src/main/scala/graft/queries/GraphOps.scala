@@ -56,6 +56,60 @@ object GraphOps {
       iters: Int = 4, cpEvery: Int = 8): DataFrame =
     run(spark, edges, iters, cpEvery, seedPred = Some(seedPred))
 
+  /** Weight-proportional PageRank: each node's out-mass splits across
+    * its out-edges ∝ integer edge weight (here: co-mention support
+    * `n_docs`) instead of uniformly — share(e) = ⌊r(u)·w(e) / W(u)⌋ with
+    * W(u) = Σ out-weights. Same exact-integer doctrine as [[pageRank]]:
+    * r·w ≤ 1e9·maxW stays far below 2^53 (products exact), the quotient's
+    * distance from an integer is ≥ 1/W(u) ≫ one ulp of a ≤ 1e9-scale
+    * result, so both engines land on identical longs; with all weights
+    * equal the result is BIT-IDENTICAL to [[pageRank]] (pinned in
+    * OpsSpec). Per round: one fan-out-1 join of ranks onto the weighted
+    * edge list (shares are per-EDGE now), one map-side-combinable sum on
+    * dst, one node left join — same shuffle count as the uniform
+    * operator.
+    *
+    * `edges` must be DISTINCT symmetric (src, dst, w) rows with integer
+    * w ≥ 1. */
+  def pageRankWeighted(spark: SparkSession, edges: DataFrame, iters: Int = 4,
+      cpEvery: Int = 8): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(cpEvery > 0, s"cpEvery must be > 0, got $cpEvery")
+    val e = edges.select(col("src").cast("string").as("src"),
+      col("dst").cast("string").as("dst"), col("w").cast("long").as("w"))
+      .persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val n = nodes.count()
+    if (n == 0) {
+      e.unpersist(); nodes.unpersist()
+      return nodes.select(col("node"), lit(0L).as("rank_units"))
+    }
+    val wtot = e.groupBy(col("src").as("node"))
+      .agg(sum(col("w")).as("wt")).persist()
+    val base = math.floor(1.5e8 / n).toLong
+    var ranks = nodes.select(col("node"),
+      lit(math.floor(1e9 / n).toLong).as("r"))
+    var i = 0
+    while (i < iters) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(wtot.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"),
+          floor(col("r").cast("double") * col("w") / col("wt")).as("s"))
+        .groupBy(col("dst").as("node")).agg(sum(col("s")).as("c"))
+      val next = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"), (lit(base) +
+          floor(coalesce(col("c"), lit(0L)).cast("double") * 85.0 / 100.0)).as("r"))
+      ranks = if ((i + 1) % cpEvery == 0) next.localCheckpoint(true) else next
+      i += 1
+    }
+    val out = ranks.select(col("node"), col("r").cast("long").as("rank_units"))
+      .localCheckpoint(true)
+    e.unpersist(); nodes.unpersist(); wtot.unpersist()
+    out
+  }
+
   /** Per-node triangle counts + degree via the degree-ordered
     * node-iterator (Suri & Vassilvitskii 2011, "Counting Triangles and the
     * Curse of the Last Reducer" — the MapReduce-optimal shape): each

@@ -1482,6 +1482,36 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(g3.size == 7)
   }
 
+  test("pageRankWeighted: equal weights are bit-identical to uniform; heavy edges pull mass") {
+    import spark.implicits._
+    val path = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
+    val uni = graft.queries.GraphOps.pageRank(spark, path.toDF("src", "dst"), iters = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w1 = graft.queries.GraphOps.pageRankWeighted(spark,
+        path.map { case (s, d) => (s, d, 1L) }.toDF("src", "dst", "w"), iters = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(w1 == uni) // ⌊r·1/W⌋ == ⌊r/od⌋ exactly
+    // b splits 3:1 toward a — a must out-rank c (uniform ties them)
+    val wEdges = Seq(("a", "b", 3L), ("b", "a", 3L), ("b", "c", 1L), ("c", "b", 1L))
+    val w2 = graft.queries.GraphOps.pageRankWeighted(spark,
+        wEdges.toDF("src", "dst", "w"), iters = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(w2("a") > w2("c"))
+    assert(uni("a") == uni("c"))
+    // independent exact reference with per-edge floored shares
+    val nodes = Seq("a", "b", "c"); val n = nodes.size
+    val wt = wEdges.groupBy(_._1).map { case (k, es) => k -> es.map(_._3).sum }
+    val base = math.floor(1.5e8 / n).toLong
+    var r = nodes.map(_ -> math.floor(1e9 / n).toLong).toMap
+    for (_ <- 0 until 4) {
+      val c = wEdges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(e => math.floor(r(e._1).toDouble * e._3 / wt(e._1)).toLong).sum }
+      r = nodes.map(nd => nd ->
+        (base + math.floor(c.getOrElse(nd, 0L).toDouble * 85.0 / 100.0).toLong)).toMap
+    }
+    assert(w2 == r)
+  }
+
   // -------------------------------------- snapshot diff (T48)
 
   test("snapshotDiff labels added/removed/changed/unchanged; source coalesces to the surviving side") {
