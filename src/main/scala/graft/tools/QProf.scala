@@ -66,7 +66,7 @@ object QProf {
         q(spark, sfDir).write.mode("overwrite").format("noop").save()
         wall = (System.nanoTime() - t0) / 1e9
         if (r == reps) {
-          spark.sparkContext.listenerBus.waitUntilEmpty(10000)
+          Thread.sleep(300) // let the listener bus drain
           spark.sparkContext.removeSparkListener(listener)
         }
       }
