@@ -595,7 +595,8 @@ object SparkEntry {
       val store = graft.core.TableIO.read(s, loc.toString)
         .where(pmod(col("doc_id"), lit(10)) =!= 0)
       TrainingOps.minhashPairsAgainstStore(s,
-          TrainingOps.minhashSignatures(s, newDocs), store, minSim = 0.05)
+          TrainingOps.minhashSignatures(s, newDocs).localCheckpoint(true),
+          store, minSim = 0.05)
         .orderBy(col("doc_new"), col("doc_store"))
     }),
     // admission face: new-batch docs with no near-dup in the store
@@ -773,14 +774,27 @@ object SparkEntry {
     // IMPLEMENTATION stays independent (regex-engine, graft.golden); only
     // its output is dumped. The in-suite golden gate (KernelGoldenSpec,
     // 8k-doc sweep) is unchanged and remains the primary parity guard.
+    // r8 shape: ONE null-safe full-outer join of per-row multiset counts
+    // replaces the two exceptAll subtrees (each of which shuffled both
+    // stores) plus the separate doc-id union — a doc mismatches iff some
+    // row's per-side multiplicities differ, which is exactly exceptAll
+    // nonempty in either direction (guide §2.4: fewer passes, fewer
+    // exchanges). <=> keys because posexplode_outer emits null span
+    // fields for empty docs and exceptAll compares nulls equal.
     "j5_golden_compare" -> ((s, _) => {
       val k = graft.core.TableIO.read(s, extractSpansStore(s))
       val g = graft.core.TableIO.read(s, goldenSpansStore(s))
-      val mismatched = k.exceptAll(g).select(col("doc_id"))
-        .union(g.exceptAll(k).select(col("doc_id"))).distinct()
-      val docs = k.select(col("doc_id")).union(g.select(col("doc_id"))).distinct()
-      docs.agg(count(lit(1)).as("n_docs"))
-        .crossJoin(mismatched.agg(count(lit(1)).as("n_mismatches")))
+      val cols = k.columns.toSeq
+      val ka = k.groupBy(cols.map(col): _*).agg(count(lit(1)).as("ck")).as("ka")
+      val gb = g.groupBy(cols.map(col): _*).agg(count(lit(1)).as("cg")).as("gb")
+      val cond = cols.map(c => col(s"ka.$c") <=> col(s"gb.$c")).reduce(_ && _)
+      ka.join(gb, cond, "full")
+        .select(coalesce(col("ka.doc_id"), col("gb.doc_id")).as("doc_id"),
+          (coalesce(col("ck"), lit(0L)) =!= coalesce(col("cg"), lit(0L)))
+            .cast("long").as("mm"))
+        .groupBy(col("doc_id")).agg(max(col("mm")).as("mm"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("mm")), lit(0L)).as("n_mismatches"))
     }),
 
     // ---------------------------------- chunker (F6, extract.py:215-237)
@@ -908,12 +922,18 @@ object SparkEntry {
     // cross-doc exact substring dedup (Lee et al. 2022): per-doc duplicated
     // token mass from ≥2-doc n-token windows, min-doc_id canonical copy
     // exempt; flag is an exact integer ≥20% comparison
+    // hashWindows: the engine shuffles 8-byte FNV window hashes instead of
+    // ~50 B window strings (the contamination hashGrams doctrine — r8
+    // switch, result-identical, OpsSpec pins face parity); the oracle
+    // replays the string form, so the hash gate pins it cross-engine too
     "dd_substring_stats" -> ((s, d) =>
-      TrainingOps.substringDupStats(s, t(s, d, "documents")).orderBy(col("doc_id"))),
+      TrainingOps.substringDupStats(s, t(s, d, "documents"), hashWindows = true)
+        .orderBy(col("doc_id"))),
     // the removal face (T43): rewritten corpus with non-canonical
     // duplicated-window tokens deleted (Lee et al. 2022's actual edit)
     "dd_substring_rewrite" -> ((s, d) =>
-      TrainingOps.substringRewrite(s, t(s, d, "documents")).orderBy(col("doc_id"))),
+      TrainingOps.substringRewrite(s, t(s, d, "documents"), hashWindows = true)
+        .orderBy(col("doc_id"))),
     // trained NB classifier (T42, fastText posture): hashed-unigram
     // naive Bayes fit on the pmod!=0 split over the lang labels, argmax
     // class per doc, holdout slice = honest accuracy readout

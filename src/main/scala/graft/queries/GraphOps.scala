@@ -10,8 +10,24 @@ import org.apache.spark.sql.functions._
   * the graph itself is the analysis surface — PageRank over co-mention
   * edges is the standard "which entities anchor this corpus" query
   * (Page et al. 1999, "The PageRank Citation Ranking").
+  *
+  * Round-8 shuffle doctrine (guide §2.2/§2.4): every iterative operator
+  * here (a) derives its partition count from the MEASURED edge count
+  * (`spark.graft.graph.rowsPerPartition`, default 1M edge rows ≈ tens of
+  * MB per task — never a constant tuned to one box), (b) persists the
+  * edge table HASH-PARTITIONED on the per-round join key so the edge-sized
+  * shuffle happens once per run instead of once per round, and (c) opens
+  * AQE into cached-plan materialization
+  * (`canChangeCachedPlanOutputPartitioning`) so helper caches are sized by
+  * data, not by `spark.sql.shuffle.partitions`. Session confs touched are
+  * restored in a finally — callers see no conf drift.
   */
 object GraphOps {
+
+  private def adaptiveParts(spark: SparkSession, rows: Long): Int =
+    AdaptiveShuffle.parts(spark, rows)
+
+  private type GraphConfScope = AdaptiveShuffle.Scope
 
   /** PageRank in EXACT integer arithmetic, damping 0.85, fixed iteration
     * count. Ranks are scaled to 1e9 "rank units"; every division is a
@@ -75,39 +91,52 @@ object GraphOps {
       cpEvery: Int = 8): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(cpEvery > 0, s"cpEvery must be > 0, got $cpEvery")
-    val e = edges.select(col("src").cast("string").as("src"),
-      col("dst").cast("string").as("dst"), col("w").cast("long").as("w"))
-      .persist()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
-    val n = nodes.count()
-    if (n == 0) {
-      e.unpersist(); nodes.unpersist()
-      return nodes.select(col("node"), lit(0L).as("rank_units"))
-    }
-    val wtot = e.groupBy(col("src").as("node"))
-      .agg(sum(col("w")).as("wt")).persist()
-    val base = math.floor(1.5e8 / n).toLong
-    var ranks = nodes.select(col("node"),
-      lit(math.floor(1e9 / n).toLong).as("r"))
-    var i = 0
-    while (i < iters) {
-      val contrib = e
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(wtot.withColumnRenamed("node", "src"), "src")
-        .select(col("dst"),
-          floor(col("r").cast("double") * col("w") / col("wt")).as("s"))
-        .groupBy(col("dst").as("node")).agg(sum(col("s")).as("c"))
-      val next = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"), (lit(base) +
-          floor(coalesce(col("c"), lit(0L)).cast("double") * 85.0 / 100.0)).as("r"))
-      ranks = if ((i + 1) % cpEvery == 0) next.localCheckpoint(true) else next
-      i += 1
-    }
-    val out = ranks.select(col("node"), col("r").cast("long").as("rank_units"))
-      .localCheckpoint(true)
-    e.unpersist(); nodes.unpersist(); wtot.unpersist()
-    out
+    val scope = new GraphConfScope(spark)
+    try {
+      val eRaw = edges.select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst"), col("w").cast("long").as("w"))
+        .persist()
+      val nEdges = eRaw.count()
+      val p = adaptiveParts(spark, nEdges)
+      scope.pin(p)
+      // W(u) = Σ out-weights rides EVERY edge row as a constant across
+      // rounds — join it ONCE here instead of once per round (the r7 form
+      // re-joined wtot inside the loop: one extra node-sized join and its
+      // sort, × iters). `ew` is hash-partitioned on the per-round join key
+      // src, so the per-round rank join never re-shuffles the edge table.
+      val e = eRaw.repartition(p, col("src")).persist()
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+        .repartition(p, col("node")).persist()
+      val n = nodes.count()
+      if (n == 0) {
+        eRaw.unpersist(); e.unpersist(); nodes.unpersist()
+        return nodes.select(col("node"), lit(0L).as("rank_units"))
+      }
+      val wtot = e.groupBy(col("src")).agg(sum(col("w")).as("wt"))
+      val ew = e.join(wtot, "src")
+        .select(col("src"), col("dst"), col("w"), col("wt")).persist()
+      val base = math.floor(1.5e8 / n).toLong
+      var ranks = nodes.select(col("node"),
+        lit(math.floor(1e9 / n).toLong).as("r"))
+      var i = 0
+      while (i < iters) {
+        val contrib = ew
+          .join(ranks.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
+          .select(col("dst"),
+            floor(col("r").cast("double") * col("w") / col("wt")).as("s"))
+          .groupBy(col("dst").as("node")).agg(sum(col("s")).as("c"))
+        val next = nodes.join(contrib.hint("shuffle_hash"), Seq("node"), "left")
+          .select(col("node"), (lit(base) +
+            floor(coalesce(col("c"), lit(0L)).cast("double") * 85.0 / 100.0)).as("r"))
+        ranks = if ((i + 1) % cpEvery == 0) next.localCheckpoint(true) else next
+        i += 1
+      }
+      val out = ranks.select(col("node"), col("r").cast("long").as("rank_units"))
+        .localCheckpoint(true)
+      eRaw.unpersist(); e.unpersist(); nodes.unpersist(); ew.unpersist()
+      out
+    } finally scope.restore()
   }
 
   /** Per-node triangle counts + degree via the degree-ordered
@@ -127,83 +156,110 @@ object GraphOps {
     * `edges` must be DISTINCT symmetric directed (src, dst) string pairs
     * (the [[pageRank]] contract). */
   def triangleStats(spark: SparkSession, edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src").cast("string").as("src"),
-      col("dst").cast("string").as("dst"))
-    // canon feeds the orientation AND the closure join, deg feeds the
-    // orientation twice plus the output, o self-joins — persist each or
-    // the upstream edge build re-executes once per consumer (measured 3×
-    // wall on the bench-face co-mention graph before the persists landed)
-    val canon = e.where(col("src") < col("dst"))
-      .select(col("src").as("a"), col("dst").as("b")).persist()
-    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
-      .persist()
-    val withDeg = canon
-      .join(deg.select(col("node").as("a"), col("d").as("da")), "a")
-      .join(deg.select(col("node").as("b"), col("d").as("db")), "b")
-    val lowFirst = col("da") < col("db") ||
-      (col("da") === col("db") && col("a") < col("b"))
-    val o = withDeg.select(
-      when(lowFirst, col("a")).otherwise(col("b")).as("u"),
-      when(lowFirst, col("b")).otherwise(col("a")).as("v")).persist()
-    val w = o.as("e1").join(o.as("e2"),
-        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
-      .select(col("e1.u").as("u"), col("e1.v").as("v1"), col("e2.v").as("v2"))
-    val tri = w.join(canon, col("v1") === col("a") && col("v2") === col("b"))
-      .select(col("u"), col("v1"), col("v2"))
-    val perNode = tri
-      .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
-    // eager-truncate, then release the helpers (the pageRank doctrine)
-    val out = deg.join(perNode, Seq("node"), "left")
-      .select(col("node"), col("d").cast("long").as("degree"),
-        coalesce(col("triangles"), lit(0L)).cast("long").as("triangles"))
-      .localCheckpoint(true)
-    canon.unpersist(); deg.unpersist(); o.unpersist()
-    out
+    // persist the INPUT edge build first: canon and deg both consume it,
+    // and without this the upstream build (e.g. the co-mention self-join)
+    // re-executed once per consumer — measured 2× on the bench face
+    val scope = new GraphConfScope(spark)
+    try {
+      val e = edges.select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst")).persist()
+      val nEdges = e.count()
+      val p = adaptiveParts(spark, nEdges)
+      scope.pin(p)
+      // canon feeds the orientation AND the closure join, deg feeds the
+      // orientation twice plus the output, o self-joins — persist each or
+      // the edge scan re-executes once per consumer
+      val canon = e.where(col("src") < col("dst"))
+        .select(col("src").as("a"), col("dst").as("b")).persist()
+      val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+        .persist()
+      val withDeg = canon
+        .join(deg.select(col("node").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("node").as("b"), col("d").as("db")), "b")
+      val lowFirst = col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b"))
+      val o = withDeg.select(
+        when(lowFirst, col("a")).otherwise(col("b")).as("u"),
+        when(lowFirst, col("b")).otherwise(col("a")).as("v")).persist()
+      val w = o.as("e1").join(o.as("e2"),
+          col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+        .select(col("e1.u").as("u"), col("e1.v").as("v1"), col("e2.v").as("v2"))
+      val tri = w.join(canon, col("v1") === col("a") && col("v2") === col("b"))
+        .select(col("u"), col("v1"), col("v2"))
+      val perNode = tri
+        .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+      // eager-truncate, then release the helpers (the pageRank doctrine)
+      val out = deg.join(perNode, Seq("node"), "left")
+        .select(col("node"), col("d").cast("long").as("degree"),
+          coalesce(col("triangles"), lit(0L)).cast("long").as("triangles"))
+        .localCheckpoint(true)
+      e.unpersist(); canon.unpersist(); deg.unpersist(); o.unpersist()
+      out
+    } finally scope.restore()
   }
 
   private def run(spark: SparkSession, edges: DataFrame, iters: Int,
       cpEvery: Int, seedPred: Option[Column]): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(cpEvery > 0, s"cpEvery must be > 0, got $cpEvery")
-    val e = edges.select(col("src").cast("string").as("src"),
-      col("dst").cast("string").as("dst")).persist()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
-    val isSeed = seedPred.getOrElse(lit(true))
-    val n = nodes.where(isSeed).count() // scalar action — seed/node count
-    if (n == 0) {
-      e.unpersist(); nodes.unpersist()
-      require(seedPred.isEmpty, "pageRankSeeded: no seed node is in the graph")
-      return nodes.select(col("node"), lit(0L).as("rank_units"))
-    }
-    val deg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("od")).persist()
-    // ⌊SCALE/|S|⌋ start mass and ⌊(1-d)·SCALE/|S|⌋ per-round teleport,
-    // landing on seeds only (uniform PageRank: every node is a seed)
-    val r0 = math.floor(1e9 / n).toLong
-    val base = math.floor(1.5e8 / n).toLong
-    var ranks = nodes.select(col("node"),
-      when(isSeed, lit(r0)).otherwise(lit(0L)).as("r"))
-    var i = 0
-    while (i < iters) {
-      val shares = ranks.join(deg, "node")
-        .select(col("node"), floor(col("r").cast("double") / col("od")).as("s"))
-      val contrib = e.join(shares.withColumnRenamed("node", "src"), "src")
-        .groupBy(col("dst").as("node")).agg(sum(col("s")).as("c"))
-      val next = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"), (when(isSeed, lit(base)).otherwise(lit(0L)) +
-          floor(coalesce(col("c"), lit(0L)).cast("double") * 85.0 / 100.0)).as("r"))
-      ranks = if ((i + 1) % cpEvery == 0) next.localCheckpoint(true) else next
-      i += 1
-    }
-    // eager-truncate the result so the helper tables can be released NOW
-    // (the round-6 ADVICE reclaim doctrine); node-sized, so the extra
-    // materialization is O(N) rows, and the CC localCheckpoint
-    // executor-loss caveat applies (fail-retry, never silent corruption)
-    val out = ranks.select(col("node"), col("r").cast("long").as("rank_units"))
-      .localCheckpoint(true)
-    e.unpersist(); nodes.unpersist(); deg.unpersist()
-    out
+    val scope = new GraphConfScope(spark)
+    try {
+      val eRaw = edges.select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst")).persist()
+      val nEdges = eRaw.count() // materializes the edge build once; sizes p
+      val p = adaptiveParts(spark, nEdges)
+      scope.pin(p)
+      // Edge table hash-partitioned on src ONCE: the per-round rank join
+      // reuses this partitioning every round, so the only per-round
+      // exchange left is the fundamental contribution reduce on dst
+      // (guide §2.4 "two operations keyed the same way share one
+      // exchange"; the r7 form re-exchanged edges every round).
+      val e = eRaw.repartition(p, col("src")).persist()
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+        .repartition(p, col("node")).persist()
+      val isSeed = seedPred.getOrElse(lit(true))
+      val n = nodes.where(isSeed).count() // scalar action — seed/node count
+      if (n == 0) {
+        eRaw.unpersist(); e.unpersist(); nodes.unpersist()
+        require(seedPred.isEmpty, "pageRankSeeded: no seed node is in the graph")
+        return nodes.select(col("node"), lit(0L).as("rank_units"))
+      }
+      // deg inherits e's (src, p) partitioning — a complete per-partition
+      // aggregation, zero exchange (all out-edges of a node co-reside)
+      val deg = e.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("od")).persist()
+      // ⌊SCALE/|S|⌋ start mass and ⌊(1-d)·SCALE/|S|⌋ per-round teleport,
+      // landing on seeds only (uniform PageRank: every node is a seed)
+      val r0 = math.floor(1e9 / n).toLong
+      val base = math.floor(1.5e8 / n).toLong
+      var ranks = nodes.select(col("node"),
+        when(isSeed, lit(r0)).otherwise(lit(0L)).as("r"))
+      var i = 0
+      while (i < iters) {
+        // shuffle_hash hints: build the hash map on the node-sized side
+        // and STREAM the edge side — a sort-merge join would re-sort the
+        // edge partitions every round (guide §3.1)
+        val shares = ranks.join(deg.hint("shuffle_hash"), "node")
+          .select(col("node"), floor(col("r").cast("double") / col("od")).as("s"))
+        val contrib = e.join(shares.withColumnRenamed("node", "src")
+            .hint("shuffle_hash"), "src")
+          .groupBy(col("dst").as("node")).agg(sum(col("s")).as("c"))
+        val next = nodes.join(contrib.hint("shuffle_hash"), Seq("node"), "left")
+          .select(col("node"), (when(isSeed, lit(base)).otherwise(lit(0L)) +
+            floor(coalesce(col("c"), lit(0L)).cast("double") * 85.0 / 100.0)).as("r"))
+        ranks = if ((i + 1) % cpEvery == 0) next.localCheckpoint(true) else next
+        i += 1
+      }
+      // eager-truncate the result so the helper tables can be released NOW
+      // (the round-6 ADVICE reclaim doctrine); node-sized, so the extra
+      // materialization is O(N) rows, and the CC localCheckpoint
+      // executor-loss caveat applies (fail-retry, never silent corruption)
+      val out = ranks.select(col("node"), col("r").cast("long").as("rank_units"))
+        .localCheckpoint(true)
+      eRaw.unpersist(); e.unpersist(); nodes.unpersist(); deg.unpersist()
+      out
+    } finally scope.restore()
   }
 }

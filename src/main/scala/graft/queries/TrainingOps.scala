@@ -175,18 +175,34 @@ object TrainingOps {
 
   /** Rows of `df` whose group (by `keys`) has at most `cap` members. Groups
     * above the cap are dropped entirely. The size pass is a plain count
-    * aggregation — map-side partial agg, bounded state per group — so the
+    * aggregation — bounded state per group — so the
     * probe itself can never blow up on the hot group it is there to catch;
-    * the join back is an equi-join on the same keys (exchange reusable).
+    * the join back is an equi-join on the same keys (exchange REUSED —
+    * see the in-body note).
     * The filter is a column predicate (whole-stage codegen; no row lambda);
     * to tell a capped run from an exact one, call [[hotGroupDropCount]] —
     * a separate aggregate ACTION, so the count is exact under task retry,
     * unlike an accumulator incremented inside a transformation. */
   private[graft] def dropHotGroups(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
-    val kept = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__gsz"))
+    // Round-8 shape (guide §2.3/§2.4): ONE pinned-width exchange of `df`
+    // serves both the probe and the join-back — the r7 form shuffled `df`
+    // twice (a partial-agg'd copy for the probe plus the raw rows for the
+    // join) and recomputed `df`'s upstream (a signature/shingle flatMap
+    // over the whole corpus) once per exchange. ReuseExchange dedupes the
+    // two scans of the repartition; the probe aggregates complete-mode
+    // over the exchanged rows (state still bounded per group). The width
+    // is pinned at the session's shuffle-partition count because the
+    // stage DOWNSTREAM of a cap is usually explosive (posting-list pair
+    // explode, LSH bucket self-join): AQE sizes post-shuffle reads by
+    // this exchange's small INPUT bytes and would serialize the explode
+    // onto one task. shuffle_hash: build on the group-key side instead of
+    // sort-merging (no sort of the row side — guide §3.1).
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val d1 = df.repartition(n, keys.map(col): _*)
+    val kept = d1.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__gsz"))
       .filter(col("__gsz") <= cap)
       .drop("__gsz")
-    df.join(kept, keys)
+    d1.join(kept.hint("shuffle_hash"), keys)
   }
 
   /** Exact number of groups (by `keys`) exceeding `cap` — the audit face of
@@ -225,7 +241,16 @@ object TrainingOps {
   def minhashPairs(spark: SparkSession, docs: DataFrame,
       k: Int = 64, bands: Int = 16, minSim: Double = 0.2,
       maxBucket: Int = 10000): DataFrame =
-    minhashPairsFromSignatures(spark, minhashSignatures(spark, docs, k),
+    // eager-truncate the signature kernel (shingle + k minhash passes per
+    // doc): the composed pair plan references the signature table from the
+    // banding flatMap AND both verify-join sides, and column pruning makes
+    // those exchanges non-identical, so exchange reuse does NOT collapse
+    // them — without the checkpoint the kernel re-runs per reference
+    // (guide §2.4; the CC/pageRank truncation doctrine). At corpus scale
+    // the materialize-once STORED face (dd_minhash_stored) is the
+    // production path; this keeps the lazy face's kernel single-pass too.
+    minhashPairsFromSignatures(spark,
+      minhashSignatures(spark, docs, k).localCheckpoint(true),
       k, bands, minSim, maxBucket)
 
   /** The MinHash signature table (doc_id, sig) — the materialization seam:
@@ -336,8 +361,11 @@ object TrainingOps {
   def incrementalAdmit(spark: SparkSession, newDocs: DataFrame,
       storeSigs: DataFrame, k: Int = 64, bands: Int = 16, minSim: Double = 0.2,
       maxBucket: Int = 10000): DataFrame = {
+    // batch-side signature kernel eager-truncated (see [[minhashPairs]]);
+    // the store side is already a materialized table
     val pairs = minhashPairsAgainstStore(spark,
-      minhashSignatures(spark, newDocs, k), storeSigs, k, bands, minSim, maxBucket)
+      minhashSignatures(spark, newDocs, k).localCheckpoint(true),
+      storeSigs, k, bands, minSim, maxBucket)
     newDocs.select(col("doc_id").cast("long").as("doc_id"))
       .join(pairs.select(col("doc_new").as("doc_id")), Seq("doc_id"), "left_anti")
   }
@@ -356,7 +384,11 @@ object TrainingOps {
     * no-op below 10k docs sharing a chunk; ≤ 0 disables. */
   def simhashPairs(spark: SparkSession, docs: DataFrame, maxHamming: Int = 16,
       maxBucket: Int = 10000): DataFrame =
-    simhashPairsFromFingerprints(spark, simhashFingerprints(spark, docs),
+    // eager truncation of the fingerprint kernel — same rationale as
+    // [[minhashPairs]] (the chunk explode + self-join reference it from
+    // differently-pruned subtrees)
+    simhashPairsFromFingerprints(spark,
+      simhashFingerprints(spark, docs).localCheckpoint(true),
       maxHamming, maxBucket)
 
   /** The SimHash fingerprint table (doc_id, fp) — same materialization seam
@@ -413,12 +445,19 @@ object TrainingOps {
     * shingle). maxDf ≤ 0 disables the cap. */
   def ngramJaccardPairs(spark: SparkSession, docs: DataFrame,
       n: Int = 3, minJaccard: Double = 0.05, maxDf: Int = 10000): DataFrame =
-    ngramJaccardFromShingles(spark, ngramShingles(spark, docs, n), minJaccard, maxDf)
+    // eager truncation of the shingle kernel — the pair base references
+    // the shingle table from the df probe, the cap join and the sizes
+    // branch with different column pruning, so exchange reuse does not
+    // collapse the re-runs (see [[minhashPairs]]; the stored face
+    // dd_ngram_stored is the corpus-scale path)
+    ngramJaccardFromShingles(spark,
+      ngramShingles(spark, docs, n).localCheckpoint(true), minJaccard, maxDf)
 
   /** Lazy single-query face of [[ngramContainmentFromShingles]] (T52). */
   def ngramContainmentPairs(spark: SparkSession, docs: DataFrame,
       n: Int = 3, minContainment: Double = 0.5, maxDf: Int = 10000): DataFrame =
-    ngramContainmentFromShingles(spark, ngramShingles(spark, docs, n),
+    ngramContainmentFromShingles(spark,
+      ngramShingles(spark, docs, n).localCheckpoint(true),
       minContainment, maxDf)
 
   /** The exploded shingle table (doc_id, sh) — the n-gram family's
@@ -501,10 +540,16 @@ object TrainingOps {
     // so each (sh, doc) occurs once and duplicate-pair counts ARE |A∩B|.
     val (sizes, inter) =
       if (maxDf > 0) {
-        val kept = dropHotGroups(shAll, Seq("sh"), maxDf)
+        // keptRows is consumed twice (sizes + posting lists); both reads
+        // land on dropHotGroups' single reused exchange, and the sizes
+        // branch counts the JOIN OUTPUT directly instead of exploding the
+        // collect_list a second time (the r7 form ran the posting-list
+        // aggregation once per consumer)
+        val keptRows = dropHotGroups(shAll, Seq("sh"), maxDf)
+        val kept = keptRows
           .groupBy(col("sh"))
           .agg(collect_list(col("doc_id")).as("docs"))
-        val sz = kept.select(explode(col("docs")).as("doc_id"))
+        val sz = keptRows
           .groupBy(col("doc_id")).agg(count("*").as("sz"))
         val in = kept.select(col("docs")).as[Array[Long]]
           .flatMap { docs =>
@@ -626,59 +671,77 @@ object TrainingOps {
         case _ => ()
       }
     val Array(ca, cb) = pairs.columns.take(2)
-    // checkpoint the edge list FIRST: `pairs` is typically the output of a
-    // whole candidate-generation pipeline (shingle → index → join), and it
-    // appears in four union branches of the expanded edge table below — a
-    // lazy reference would recompute that pipeline once per branch (4× the
-    // pair cost, measured on the n-gram path before this landed)
-    val e = ckpt(pairs.select(col(ca).cast("long").as("u"), col(cb).cast("long").as("v")))
-    // both directions plus a self-loop per node: the hook join over this
-    // table sees the CLOSED neighborhood, so the loop body is one join +
-    // one agg — no per-round union (unioning a checkpointed table with its
-    // own derivative also trips Catalyst's union constraint rewriting)
-    val und = e.union(e.select(col("v").as("u"), col("u").as("v")))
-    val undLoop = und.union(
-        und.select(col("u")).distinct().select(col("u"), col("u").as("v")))
-      .persist()
+    val scope = new AdaptiveShuffle.Scope(spark)
+    try {
+      // checkpoint the edge list FIRST: `pairs` is typically the output of a
+      // whole candidate-generation pipeline (shingle → index → join), and it
+      // appears in four union branches of the expanded edge table below — a
+      // lazy reference would recompute that pipeline once per branch (4× the
+      // pair cost, measured on the n-gram path before this landed)
+      val e = ckpt(pairs.select(col(ca).cast("long").as("u"), col(cb).cast("long").as("v")))
+      // the checkpoint is materialized — count it (cheap scan of the
+      // materialized blocks) and size every loop shuffle from the measured
+      // edge count (guide §2.2; 2·|pairs| + |nodes| rows is the closed
+      // neighborhood's upper bound)
+      scope.pin(AdaptiveShuffle.parts(spark, 2L * e.count()))
+      // both directions plus a self-loop per node: the hook join over this
+      // table sees the CLOSED neighborhood, so the loop body is one join +
+      // one agg — no per-round union (unioning a checkpointed table with its
+      // own derivative also trips Catalyst's union constraint rewriting).
+      // Hash-partitioned on the hook join key v ONCE: every round's hook
+      // join streams this cache without re-exchanging the edge-sized table
+      // (guide §2.4 — the r7 form re-shuffled it every round); only the
+      // node-sized label table moves per round.
+      val und = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val undLoop = und.union(
+          und.select(col("u")).distinct().select(col("u"), col("u").as("v")))
+        .repartition(col("v"))
+        .persist()
 
-    var labelsCk = ckpt(undLoop.select(col("u").as("node")).distinct()
-      .select(col("node"), col("node").as("comp")))
-    var labels = labelsCk
-    var it = 0
-    var changed = Long.MaxValue
-    while (changed > 0) {
-      if (it >= maxIter)
-        throw new IllegalStateException(
-          s"connectedComponents did not converge in $maxIter rounds — " +
-            "pointer-jumped min-propagation needs O(log n) rounds, so this " +
-            "graph is larger than 2^maxIter nodes or the input is unstable")
-      // hook: min label over the closed neighborhood (self-loop ⇒ own
-      // label). The node's PREVIOUS label rides the same aggregation (the
-      // self-loop row is the one where v == u), so the convergence count
-      // below needs no extra join against the old label table — one fewer
-      // shuffle per round (round-5 VERDICT's flagged remark).
-      val hooked = undLoop.as("e").join(labels.as("l"), col("e.v") === col("l.node"))
-        .groupBy(col("e.u")).agg(min(col("l.comp")).as("comp"),
-          max(when(col("e.v") === col("e.u"), col("l.comp"))).as("prev"))
-        .select(col("u").as("node"), col("comp"), col("prev"))
-      // jump: comp := comp's comp (labels are node ids, so every comp
-      // resolves; left join guards the root, whose comp is itself)
-      val jumped = ckpt(hooked.as("x")
-        .join(hooked.select(col("node").as("rn"), col("comp").as("rc")).as("r"),
-          col("x.comp") === col("rn"), "left")
-        .select(col("x.node").as("node"),
-          coalesce(col("rc"), col("x.comp")).as("comp"), col("x.prev").as("prev")))
-      changed = jumped.where(col("comp") =!= col("prev")).count()
-      labelsCk.unpersist()
-      dropCheckpointFiles(labelsCk)
-      labelsCk = jumped
-      labels = jumped.select(col("node"), col("comp"))
-      it += 1
-    }
-    undLoop.unpersist()
-    e.unpersist() // the returned labels live on their own checkpoint
-    dropCheckpointFiles(e) // labels scan only the final round's files
-    (labels, it)
+      var labelsCk = ckpt(undLoop.select(col("u").as("node")).distinct()
+        .select(col("node"), col("node").as("comp")))
+      var labels = labelsCk
+      var it = 0
+      var changed = Long.MaxValue
+      while (changed > 0) {
+        if (it >= maxIter)
+          throw new IllegalStateException(
+            s"connectedComponents did not converge in $maxIter rounds — " +
+              "pointer-jumped min-propagation needs O(log n) rounds, so this " +
+              "graph is larger than 2^maxIter nodes or the input is unstable")
+        // hook: min label over the closed neighborhood (self-loop ⇒ own
+        // label). The node's PREVIOUS label rides the same aggregation (the
+        // self-loop row is the one where v == u), so the convergence count
+        // below needs no extra join against the old label table — one fewer
+        // shuffle per round (round-5 VERDICT's flagged remark). shuffle_hash
+        // hint: build on the node-sized label side and STREAM the cached
+        // edge table — sort-merge would re-sort the edge partitions every
+        // round (guide §3.1).
+        val hooked = undLoop.as("e")
+          .join(labels.as("l").hint("shuffle_hash"), col("e.v") === col("l.node"))
+          .groupBy(col("e.u")).agg(min(col("l.comp")).as("comp"),
+            max(when(col("e.v") === col("e.u"), col("l.comp"))).as("prev"))
+          .select(col("u").as("node"), col("comp"), col("prev"))
+        // jump: comp := comp's comp (labels are node ids, so every comp
+        // resolves; left join guards the root, whose comp is itself)
+        val jumped = ckpt(hooked.as("x")
+          .join(hooked.select(col("node").as("rn"), col("comp").as("rc"))
+            .as("r").hint("shuffle_hash"),
+            col("x.comp") === col("rn"), "left")
+          .select(col("x.node").as("node"),
+            coalesce(col("rc"), col("x.comp")).as("comp"), col("x.prev").as("prev")))
+        changed = jumped.where(col("comp") =!= col("prev")).count()
+        labelsCk.unpersist()
+        dropCheckpointFiles(labelsCk)
+        labelsCk = jumped
+        labels = jumped.select(col("node"), col("comp"))
+        it += 1
+      }
+      undLoop.unpersist()
+      e.unpersist() // the returned labels live on their own checkpoint
+      dropCheckpointFiles(e) // labels scan only the final round's files
+      (labels, it)
+    } finally scope.restore()
   }
 
   /** Near-dup cluster membership: connected components over the exact
@@ -1833,7 +1896,11 @@ object TrainingOps {
     * quadratic on boilerplate (contrast [[ngramJaccardPairs]]' Σ df²). */
   private def coveredPositions(spark: SparkSession, docs: DataFrame, n: Int,
       hashWindows: Boolean): DataFrame = {
-    val occ = windowOccurrences(spark, docs, n, hashWindows)
+    // eager-truncate the occurrence stream: the dup aggregation and the
+    // join-back read it with different column pruning, so exchange reuse
+    // does not collapse the two flatMap runs (the minhashPairs rationale);
+    // a repeated-sweep caller still materializes via TableIO instead
+    val occ = windowOccurrences(spark, docs, n, hashWindows).localCheckpoint(true)
     val dup = occ.groupBy(col("g"))
       .agg(min(col("doc_id")).as("w_min"), countDistinct(col("doc_id")).as("w_docs"))
       .where(col("w_docs") >= 2)
@@ -2096,8 +2163,18 @@ object TrainingOps {
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .as[(String, Long)]
       .map { case (w, f) => (w.map(c => s"$c$Sep").mkString, f) }
-      .persist()
-    vocab.count() // materialize before the loop reads it twice per round
+      // LOCAL CHECKPOINT, not persist: persist caches row data but leaves
+      // the serialized task lineage growing one .map closure per merge —
+      // by merge 4 every task deserializes the whole chain (measured:
+      // task-deser dominating the loop stages). The checkpoint truncates
+      // lineage each round (the connectedComponents doctrine).
+      .localCheckpoint(true)
+    // pin every loop shuffle to the MEASURED vocab size (guide §2.2 — the
+    // pair agg and replace map run over a vocab-sized table, not the
+    // corpus; at bench scale that is 1 partition instead of the session's
+    // 32)
+    val scope = new AdaptiveShuffle.Scope(spark)
+    scope.pin(AdaptiveShuffle.parts(spark, vocab.count()))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     try {
       var it = 1
@@ -2117,13 +2194,12 @@ object TrainingOps {
           val prev = vocab
           vocab = vocab.map { case (enc, f) =>
               (enc.replace(s"$l$Sep$r$Sep", s"$l$r$Sep"), f) }
-            .persist()
-          vocab.count()
+            .localCheckpoint(true)
           prev.unpersist()
           it += 1
         }
       }
-    } finally vocab.unpersist()
+    } finally { vocab.unpersist(); scope.restore() }
     spark.createDataFrame(merges.toSeq).toDF("iter", "l", "r", "n")
   }
 
@@ -2280,11 +2356,17 @@ object TrainingOps {
     graft.functions.Fnv1a64Expr.register(spark)
     val base = docs.select(col("doc_id").cast("long").as("doc_id"),
       col(labelCol).cast("string").as("label"), col("text"))
+    // eager-truncate the per-(doc, bucket) feature table: the class-count
+    // branch and the scoring branch consume it with different column
+    // pruning, so without this the corpus explode+hash runs twice (the
+    // minhashPairs truncation rationale); the table is ≤ docs×buckets
+    // rows — the smallest full-corpus representation in the operator
     val docB = base
       .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
       .where(col("tok") =!= "")
       .select(col("doc_id"), pmod(expr("fnv1a64(tok)"), lit(buckets.toLong)).as("b"))
       .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val train = base.where(pmod(col("doc_id"), lit(holdMod.toLong)) =!= 0)
       .select(col("doc_id"), col("label"))
     val classB = docB.join(train, Seq("doc_id"))
@@ -2346,9 +2428,13 @@ object TrainingOps {
     val h = nbClassify(spark, docs, labelCol, buckets, holdMod)
       .where(col("holdout"))
       .select(col("score"), col("correct").cast("long").as("c"))
+    // eager-truncate at the distinct-score table (tiny): the bucket
+    // subtotal branch and the rank join both consume `g`, and without the
+    // checkpoint the entire NB classifier pipeline upstream runs twice
     val g = h.groupBy(col("score"))
       .agg(count(lit(1)).as("n"), sum(col("c")).as("np"))
       .withColumn("bkt", floor(col("score")).cast("long"))
+      .localCheckpoint(true)
     val bt = g.groupBy(col("bkt")).agg(sum(col("n")).as("bn"))
     // buckets-sized prefix (the T38 broadcast-group-prefix face); the
     // unpartitioned window runs over ≤ score-range rows, never the corpus

@@ -30,7 +30,8 @@ object QProf {
 
     final case class JobRec(id: Int, var desc: String, var start: Long,
       var end: Long, var stages: Int, var tasks: Int,
-      var execRunMs: Long, var shufReadB: Long, var shufWriteB: Long)
+      var execRunMs: Long, var shufReadB: Long, var shufWriteB: Long,
+      val stageLines: mutable.ArrayBuffer[String] = mutable.ArrayBuffer.empty)
     val jobs = mutable.LinkedHashMap.empty[Int, JobRec]
     val stageToJob = mutable.HashMap.empty[Int, Int]
     val listener = new SparkListener {
@@ -50,6 +51,11 @@ object QProf {
           r.execRunMs += si.taskMetrics.executorRunTime
           r.shufReadB += si.taskMetrics.shuffleReadMetrics.totalBytesRead
           r.shufWriteB += si.taskMetrics.shuffleWriteMetrics.bytesWritten
+          if (si.taskMetrics.executorRunTime >= 200)
+            r.stageLines += f"    stage=${si.stageId}%3d tasks=${si.numTasks}%4d " +
+              f"execMs=${si.taskMetrics.executorRunTime}%6d cpuMs=${si.taskMetrics.executorCpuTime / 1000000}%6d " +
+              f"deserMs=${si.taskMetrics.executorDeserializeTime}%5d gcMs=${si.taskMetrics.jvmGCTime}%5d " +
+              si.name.take(90)
         }
       }
     }
@@ -76,6 +82,7 @@ object QProf {
           println(f"  job=${j.id}%3d ${(j.end - j.start) / 1000.0}%6.2fs stages=${j.stages}%2d " +
             f"tasks=${j.tasks}%4d execMs=${j.execRunMs}%6d " +
             f"shufR=${j.shufReadB / 1024}%7dK shufW=${j.shufWriteB / 1024}%7dK  ${j.desc.take(60)}")
+          j.stageLines.foreach(println)
         }
       }
     }
