@@ -71,14 +71,21 @@ object SparkEntry {
   private def spanScalarStore(s: SparkSession, name: String, tag: String,
       extracted: => DataFrame): String = {
     val loc = graft.core.Materialize.warehousePath(s, name)
-    graft.core.Materialize.onceAt(s, loc, tag) {
+    // repartition(1): the 300-doc scalar dump is ~160 KB — without it the
+    // 32-way extraction parallelism writes 32 tiny files and every store
+    // consumer (the linking/graph/ex_* queries) pays a 32-task scan
+    // (guide §6 small-files); extraction itself stays parallel upstream
+    // of the single-writer exchange. Tag carries the layout so stores
+    // written by earlier rounds rebuild.
+    graft.core.Materialize.onceAt(s, loc, s"$tag:c1") {
       graft.core.TableIO.write(
         extracted.select(col("doc_id"),
             posexplode_outer(col("spans")).as(Seq("seq", "s")))
           .select(col("doc_id"), col("seq").cast("long").as("seq"),
             col("s.kind").as("kind"), col("s.text").as("text"),
             col("s.media_ref").as("media_ref"),
-            col("s.offset").cast("long").as("offset")),
+            col("s.offset").cast("long").as("offset"))
+          .repartition(1),
         loc.toString)
     }
     loc.toString
@@ -846,8 +853,12 @@ object SparkEntry {
     "ta_repetition" -> ((s, d) =>
       TrainingOps.repetitionStats(s, t(s, d, "documents")).orderBy(col("doc_id"))),
     // train/eval n-gram contamination check (eval = doc_id % 20 == 0 slice)
+    // hashGrams: 8-byte FNV gram hashes shuffle instead of ~50 B strings
+    // (r8 switch — the engine's documented scale form; result-identical,
+    // OpsSpec pins hashed/string parity, oracle replays the string form)
     "ta_contamination" -> ((s, d) =>
-      TrainingOps.contaminationCheck(s, t(s, d, "documents")).orderBy(col("doc_id"))),
+      TrainingOps.contaminationCheck(s, t(s, d, "documents"), hashGrams = true)
+        .orderBy(col("doc_id"))),
 
     // the contamination family's stored path (completes the quartet with
     // dd_{minhash,simhash,ngram}_stored): the DISTINCT train-gram table is
@@ -856,13 +867,17 @@ object SparkEntry {
     // snapshot, not once per benchmark sweep. Shares ta_contamination's
     // oracle (identical result by construction; OpsSpec pins it).
     "ta_contamination_stored" -> ((s, d) => {
+      // hashed-gram store since r8 (tag bumped so a string-gram store from
+      // an earlier round rebuilds): the stored artifact is the scale form —
+      // 8 bytes/gram on disk and through every eval-side join
       val loc = graft.core.Materialize.warehousePath(s, "graft_train_grams")
-      graft.core.Materialize.onceAt(s, loc, s"train_grams:n8:m20:$d") {
+      graft.core.Materialize.onceAt(s, loc, s"train_grams:n8:m20:h:$d") {
         graft.core.TableIO.write(
-          TrainingOps.contaminationTrainGrams(s, t(s, d, "documents")), loc.toString)
+          TrainingOps.contaminationTrainGrams(s, t(s, d, "documents"),
+            hashGrams = true), loc.toString)
       }
       TrainingOps.contaminationFromTrainGrams(s, t(s, d, "documents"),
-        graft.core.TableIO.read(s, loc.toString))
+        graft.core.TableIO.read(s, loc.toString), hashGrams = true)
         .orderBy(col("doc_id"))
     }),
     // exact top-k token frequencies (TakeOrderedAndProject — k rows ever

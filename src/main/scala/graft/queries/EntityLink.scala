@@ -188,8 +188,18 @@ object EntityLink {
 
   /** [[cooccurrence]] over an arbitrary mentions table. */
   def cooccurrenceFrom(mentionsDf: DataFrame, minDocs: Long = 3): DataFrame = {
+    // ONE pinned-width exchange on doc_id serves the dedup AND both
+    // self-join sides (r8, the dropHotGroups doctrine): hash(doc_id)
+    // satisfies the dedup's clustered distribution (equal (doc, type,
+    // norm) rows share a doc_id), so distinct() runs in place with no
+    // second exchange, and the self-join on doc_id is co-partitioned.
+    // Pinned width because the join's pair fan-out is quadratic per doc —
+    // AQE would size the read by the (small) mention bytes and serialize
+    // the pair generation onto one task.
+    val n = mentionsDf.sparkSession.sessionState.conf.numShufflePartitions
     val m = mentionsDf
-      .select(col("doc_id"), col("entity_type"), col("norm")).distinct()
+      .select(col("doc_id"), col("entity_type"), col("norm"))
+      .repartition(n, col("doc_id")).distinct()
     m.as("a").join(m.as("b"),
         col("a.doc_id") === col("b.doc_id") &&
           (col("a.entity_type") < col("b.entity_type") ||

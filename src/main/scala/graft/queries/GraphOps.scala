@@ -105,9 +105,9 @@ object GraphOps {
       // sort, × iters). `ew` is hash-partitioned on the per-round join key
       // src, so the per-round rank join never re-shuffles the edge table.
       val e = eRaw.repartition(p, col("src")).persist()
+      // distinct() under the pinned conf already exchanges hash(node, p)
       val nodes = e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct()
-        .repartition(p, col("node")).persist()
+        .union(e.select(col("dst").as("node"))).distinct().persist()
       val n = nodes.count()
       if (n == 0) {
         eRaw.unpersist(); e.unpersist(); nodes.unpersist()
@@ -216,9 +216,10 @@ object GraphOps {
       // (guide §2.4 "two operations keyed the same way share one
       // exchange"; the r7 form re-exchanged edges every round).
       val e = eRaw.repartition(p, col("src")).persist()
+      // distinct() under the pinned conf already exchanges hash(node, p) —
+      // an explicit repartition would just add a second exchange
       val nodes = e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node"))).distinct()
-        .repartition(p, col("node")).persist()
+        .union(e.select(col("dst").as("node"))).distinct().persist()
       val isSeed = seedPred.getOrElse(lit(true))
       val n = nodes.where(isSeed).count() // scalar action — seed/node count
       if (n == 0) {

@@ -37,6 +37,11 @@ object RetrievalOps {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
     require(queryTerms.distinct == queryTerms, "query terms must be distinct")
+    // tokens are lowercased below; a mixed-case term would silently score
+    // 0 everywhere, and "Fox"/"fox" would evade the distinct check —
+    // make the contract loud (ADVICE r7)
+    require(queryTerms.forall(t => t == t.toLowerCase),
+      s"query terms must be lowercase (tokens are lowercased): $queryTerms")
     val q = queryTerms.length
     val toks = docs.select(col("doc_id").cast("long").as("doc_id"),
         explode(split(lower(col("text")), "\\s+")).as("tok"))

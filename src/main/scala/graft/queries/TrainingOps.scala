@@ -2018,9 +2018,17 @@ object TrainingOps {
     * `added` (new only), `removed` (old only), `changed` (both, text
     * differs), `unchanged`. The audit face every training-data pipeline
     * needs between crawl refreshes — which slice moved, by source —
-    * and the precondition for incremental recomputation (T41 re-dedups
-    * only `added`/`changed`; stored signatures/grams of `removed` docs
-    * are retired).
+    * and the input an incremental recomputation consumes (T41 re-dedups
+    * only `added`/`changed`). NB this operator only REPORTS the diff: a
+    * store-refresh step (retiring removed/changed docs' stored
+    * signatures/grams before re-admitting) is the caller's job and is NOT
+    * implemented here — without it a re-submitted doc can be rejected
+    * against a ghost signature of a removed near-dup (VERDICT r7 #1).
+    *
+    * Precondition: `doc_id` must be unique WITHIN each snapshot (the
+    * [[graft.queries.GraphOps.pageRank]] DISTINCT-edges style contract) —
+    * duplicate ids fan out through the full outer join and emit multiple,
+    * possibly contradictory, status rows per id (ADVICE r7).
     *
     * Scale shape: each snapshot is read ONCE with the text column
     * collapsed to its fnv1a64 IN THE SCAN PROJECTION — 16-byte rows enter

@@ -196,7 +196,11 @@ object IncrementalScale {
       // production refresh churn: ~1% removals, ~1% radical rewrites
       val remMod = sys.env.getOrElse("INCRSCALE_REFRESH_REM_MOD", "101").toLong
       val chMod = sys.env.getOrElse("INCRSCALE_REFRESH_CH_MOD", "97").toLong
-      require(addN * 7 < storeN * 10, "copy targets must stay distinct")
+      // (addN-1)*7 < storeN bounds the largest copy-target index below the
+      // id space, so `(j*7) % storeN` never wraps and targets stay
+      // distinct (ADVICE r7: the old `addN*7 < storeN*10` guard let
+      // storeN%7==0 configs collide, e.g. store 70000 / adds 20000)
+      require((addN - 1) * 7 < storeN, "copy targets must stay distinct")
       val v1 = storeDocs(spark, storeN).withColumn("source", lit("s"))
       val v2docs = spark.range(0L, storeN).flatMap { i =>
         if (i % remMod == 0) None
