@@ -828,7 +828,8 @@ object SparkEntry {
     // integer lengths — exact in both engines
     "f6_chunker_docs" -> ((s, d) => {
       import s.implicits._
-      t(s, d, "documents").select(col("doc_id").cast("long"), col("text"))
+      graft.queries.AdaptiveShuffle.spread(
+          t(s, d, "documents").select(col("doc_id").cast("long"), col("text")))
         .as[(Long, String)]
         .map { case (id, text) =>
           val ws = text.split("\\s+").filter(_.nonEmpty)

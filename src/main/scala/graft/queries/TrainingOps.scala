@@ -261,7 +261,9 @@ object TrainingOps {
     * Equivalence over a written-and-read-back table is pinned in OpsSpec. */
   def minhashSignatures(spark: SparkSession, docs: DataFrame, k: Int = 64): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text"))
+    // spread: the k-permutation minhash kernel is the CPU; a sub-MB scan
+    // would otherwise run it on 1 task (no-op at corpus scale)
+    AdaptiveShuffle.spread(docs.select(col("doc_id").cast("long"), col("text")))
       .as[(Long, String)]
       .map { case (id, text) => Sig(id, minhash(shingles(text, 3), k)) }
       .toDF("doc_id", "sig")
@@ -397,7 +399,7 @@ object TrainingOps {
     * self-join side. Equivalence pinned in OpsSpec. */
   def simhashFingerprints(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text"))
+    AdaptiveShuffle.spread(docs.select(col("doc_id").cast("long"), col("text")))
       .as[(Long, String)]
       .map { case (id, text) => (id, simhash64(text)) }
       .toDF("doc_id", "fp")
@@ -469,7 +471,7 @@ object TrainingOps {
     * each is a parquet scan. Equivalence pinned in OpsSpec. */
   def ngramShingles(spark: SparkSession, docs: DataFrame, n: Int = 3): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text"))
+    AdaptiveShuffle.spread(docs.select(col("doc_id").cast("long"), col("text")))
       .as[(Long, String)]
       .flatMap { case (id, text) => shingles(text, n).iterator.map(s => (id, fnv1a64(s))) }
       .toDF("doc_id", "sh")
@@ -846,9 +848,14 @@ object TrainingOps {
     val sigged = hyperplaneBuckets(spark, emb, nPlanes)
     val e0 = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
       .join(sigged, "vec_id")
+    // eager-truncate before the self-join: both candidate sides reference
+    // the bucketing kernel + cap pipeline, and the typed hyperplane map's
+    // broadcast/closure otherwise rides every task of every consumer
+    // (QProf: task-deser dominated the three 32-task stages) — the
+    // minhashPairs truncation rationale
     val e =
-      if (maxBucket > 0) dropHotGroups(e0, Seq("bucket"), maxBucket)
-      else e0
+      (if (maxBucket > 0) dropHotGroups(e0, Seq("bucket"), maxBucket)
+      else e0).localCheckpoint(true)
     val cands = e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
@@ -1190,7 +1197,10 @@ object TrainingOps {
     val best = sort_array(array(scores.zipWithIndex.map { case (s, i) =>
       struct(s.getField("score").as("score"), lit(-i).as("prio"), s.getField("lang").as("lang"))
     }: _*), asc = false).getItem(0)
-    docs.select(col("doc_id").cast("long").as("doc_id"), col("lang").as("actual"),
+    // spread: 4 regex passes over every document run in the scan stage —
+    // serial on a 1-split input without it (no-op at corpus scale)
+    AdaptiveShuffle.spread(docs.select(col("doc_id"), col("lang"), col("text")))
+      .select(col("doc_id").cast("long").as("doc_id"), col("lang").as("actual"),
         when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und")).as("predicted"))
   }
 
@@ -1205,7 +1215,7 @@ object TrainingOps {
     // all three are ratios of exact integers (quantized) → floor half-up
     // 4dp, engine-identical at .xxxx5 boundaries (see ngramJaccardPairs)
     def r4(c: Column): Column = floor(c * 1e4 + 0.5) / 1e4
-    docs.select(
+    AdaptiveShuffle.spread(docs.select(col("doc_id"), col("text"))).select(
         col("doc_id").cast("long").as("doc_id"),
         nChars.cast("long").as("n_chars"),
         words.cast("long").as("n_words"),
@@ -1216,7 +1226,7 @@ object TrainingOps {
 
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation. */
   def tokenCounts(docs: DataFrame): DataFrame =
-    docs.select(
+    AdaptiveShuffle.spread(docs.select(col("doc_id"), col("text"))).select(
         col("doc_id").cast("long").as("doc_id"),
         size(regexp_extract_all(col("text"), lit("""\S+"""), lit(0))).cast("long").as("ws_tokens"),
         size(regexp_extract_all(col("text"),
@@ -1231,7 +1241,8 @@ object TrainingOps {
     * a containment query actually consumes. */
   def fingerprints(spark: SparkSession, docs: DataFrame, gram: Int = 8, keep: Int = 16): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+    AdaptiveShuffle.spread(
+        docs.select(col("doc_id").cast("long"), col("text"))).as[(Long, String)]
       .flatMap { case (id, text) =>
         val t = text
         val hs =
@@ -1258,7 +1269,8 @@ object TrainingOps {
     * [[ngramJaccardPairs]] for the cross-engine rationale). */
   def repetitionStats(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+    AdaptiveShuffle.spread(
+        docs.select(col("doc_id").cast("long"), col("text"))).as[(Long, String)]
       .map { case (id, text) =>
         val ws = tokens(text)
         val n = ws.length
@@ -1319,7 +1331,8 @@ object TrainingOps {
   private[graft] def gramsOf(spark: SparkSession, d: DataFrame, n: Int,
       hashed: Boolean): DataFrame = {
     import spark.implicits._
-    val docGrams = d.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+    val docGrams = AdaptiveShuffle.spread(
+      d.select(col("doc_id").cast("long"), col("text"))).as[(Long, String)]
     if (hashed)
       docGrams.flatMap { case (id, text) =>
           shingles(text, n).iterator.map(g => (id, fnv1a64(g))) }
@@ -1369,7 +1382,8 @@ object TrainingOps {
     * collected. Ties broken by token ASC so rank-k boundaries are
     * engine-deterministic. */
   def vocabTopK(docs: DataFrame, k: Int = 50): DataFrame =
-    docs.select(explode(split(lower(col("text")), "\\s+")).as("token"))
+    AdaptiveShuffle.spread(docs.select(col("text")))
+      .select(explode(split(lower(col("text")), "\\s+")).as("token"))
       .where(col("token") =!= "")
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token"))
@@ -1416,7 +1430,8 @@ object TrainingOps {
     * known residual risk (zero boundary rows on the graded corpora; the
     * exact-boundary audit lives in the round-6 flag-threshold note). */
   def unigramLogProb(docs: DataFrame, flagThreshold: Double = 3.5): DataFrame = {
-    val tok = docs.select(col("doc_id").cast("long").as("doc_id"),
+    val tok = AdaptiveShuffle.spread(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id").cast("long").as("doc_id"),
         explode(split(lower(col("text")), "\\s+")).as("token"))
       .where(col("token") =!= "")
     val docTok = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
@@ -1871,7 +1886,8 @@ object TrainingOps {
   private def windowOccurrences(spark: SparkSession, docs: DataFrame, n: Int,
       hashWindows: Boolean): DataFrame = {
     import spark.implicits._
-    val toks = docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+    val toks = AdaptiveShuffle.spread(
+      docs.select(col("doc_id").cast("long"), col("text"))).as[(Long, String)]
     if (hashWindows)
       toks.flatMap { case (id, text) =>
           val t = tokens(text)
@@ -1934,7 +1950,8 @@ object TrainingOps {
     import spark.implicits._
     require(n >= 2)
     val covered = coveredPositions(spark, docs, n, hashWindows)
-    val toksPos = docs.select(col("doc_id").cast("long"), col("text"))
+    val toksPos = AdaptiveShuffle.spread(
+        docs.select(col("doc_id").cast("long"), col("text")))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         tokens(text).iterator.zipWithIndex.map { case (t, i) => (id, i, t) } }
@@ -1980,7 +1997,8 @@ object TrainingOps {
       buckets: Int = 4096): DataFrame = {
     require(buckets > 0)
     graft.functions.Fnv1a64Expr.register(spark)
-    def bucketed(d: DataFrame): DataFrame = d
+    def bucketed(d: DataFrame): DataFrame =
+      AdaptiveShuffle.spread(d.select(col("doc_id"), col("text")))
       .select(col("doc_id").cast("long").as("doc_id"),
         explode(split(lower(col("text")), "\\s+")).as("tok"))
       .where(col("tok") =!= "")
@@ -2125,7 +2143,7 @@ object TrainingOps {
     * of the semantics, not presentation). */
   def bpePairCounts(spark: SparkSession, docs: DataFrame, k: Int = 20): DataFrame = {
     import spark.implicits._
-    val vocab = docs
+    val vocab = AdaptiveShuffle.spread(docs.select(col("text")))
       .select(explode(split(lower(col("text")), "\\s+")).as("w"))
       .where(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
@@ -2165,7 +2183,7 @@ object TrainingOps {
     import spark.implicits._
     require(nMerges >= 1)
     val Sep = "\u0001"
-    var vocab = docs
+    var vocab = AdaptiveShuffle.spread(docs.select(col("text")))
       .select(explode(split(lower(col("text")), "\\s+")).as("w"))
       .where(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
@@ -2288,7 +2306,8 @@ object TrainingOps {
       holdMod: Int = 5, backoff: Double = 0.4): DataFrame = {
     import spark.implicits._
     require(holdMod >= 2)
-    val docBi = docs.select(col("doc_id").cast("long"), col("text"))
+    val docBi = AdaptiveShuffle.spread(
+        docs.select(col("doc_id").cast("long"), col("text")))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val t = tokens(text)
@@ -2299,7 +2318,8 @@ object TrainingOps {
     val isTrain = pmod(col("doc_id"), lit(holdMod.toLong)) =!= 0
     val biTab = docBi.where(isTrain)
       .groupBy(col("u"), col("w")).agg(sum(col("c")).as("bc"))
-    val uniTab = docs.select(col("doc_id").cast("long").as("doc_id"),
+    val uniTab = AdaptiveShuffle.spread(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id").cast("long").as("doc_id"),
         explode(split(lower(col("text")), "\\s+")).as("tok"))
       .where(col("tok") =!= "" && isTrain)
       .groupBy(col("tok")).agg(count(lit(1)).as("uc"))
@@ -2369,7 +2389,7 @@ object TrainingOps {
     // pruning, so without this the corpus explode+hash runs twice (the
     // minhashPairs truncation rationale); the table is ≤ docs×buckets
     // rows — the smallest full-corpus representation in the operator
-    val docB = base
+    val docB = AdaptiveShuffle.spread(base.select(col("doc_id"), col("text")))
       .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
       .where(col("tok") =!= "")
       .select(col("doc_id"), pmod(expr("fnv1a64(tok)"), lit(buckets.toLong)).as("b"))
