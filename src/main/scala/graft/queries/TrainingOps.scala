@@ -542,13 +542,20 @@ object TrainingOps {
     // so each (sh, doc) occurs once and duplicate-pair counts ARE |A∩B|.
     val (sizes, inter) =
       if (maxDf > 0) {
-        // keptRows is consumed twice (sizes + posting lists); both reads
-        // land on dropHotGroups' single reused exchange, and the sizes
-        // branch counts the JOIN OUTPUT directly instead of exploding the
+        // keptRows is consumed twice (sizes + posting lists) with
+        // different column pruning, so exchange reuse does not collapse
+        // the cap join — checkpoint it once (the minhashPairs truncation
+        // rationale; at scale this trades one disk-backed copy of the
+        // capped shingle table for a second scan+join of it). The
+        // explicit pinned repartition restores the sh-clustering the
+        // checkpoint loses AND keeps the pair explode downstream parallel
+        // (AQE would size it by these few input bytes); the sizes branch
+        // counts the checkpoint directly instead of exploding the
         // collect_list a second time (the r7 form ran the posting-list
-        // aggregation once per consumer)
-        val keptRows = dropHotGroups(shAll, Seq("sh"), maxDf)
-        val kept = keptRows
+        // aggregation once per consumer).
+        val keptRows = dropHotGroups(shAll, Seq("sh"), maxDf).localCheckpoint(true)
+        val nShuf = spark.sessionState.conf.numShufflePartitions
+        val kept = keptRows.repartition(nShuf, col("sh"))
           .groupBy(col("sh"))
           .agg(collect_list(col("doc_id")).as("docs"))
         val sz = keptRows
