@@ -33,16 +33,27 @@ private[graft] object AdaptiveShuffle {
     * repartition is deterministic under retry via Spark's
     * sort-before-repartition (guide §2.5). */
   def spread(df: DataFrame): DataFrame = {
-    // Quarter of the slots, not all of them: a typed-kernel task carries
-    // ~25–150 ms of fixed CPU (encoder/codegen init + interpreted
-    // execution until JIT warms — measured: a trivial typed map costs
-    // ~25 ms/task steady-state where the SQL equivalent costs ~0.3 ms),
-    // so on a small input many short tasks burn more than they
-    // parallelize. Width parallelism/4 keeps each task long enough to
-    // JIT while still covering the kernel.
+    // Gate on the optimizer's SIZE estimate, not on df.rdd: under AQE,
+    // .rdd materializes every upstream exchange as real jobs at
+    // plan-construction time (duplicating a composed caller's joins),
+    // while logical-plan stats are free. A small estimate means the scan
+    // planned few tasks (split size floors at files.openCostInBytes);
+    // composed/streaming inputs estimate large and pass through
+    // untouched, as does any real corpus — no shuffle is ever added
+    // where it would move real bytes.
+    //
+    // Width is a QUARTER of the slots, not all of them: every task pays
+    // ~15–40 ms of fixed CPU (codegen/encoder init + interpreted
+    // execution until JIT warms — tools/TaskCostProbe; 100–200 ms for
+    // wide-encoder doc kernels in QProf), so on a small input many short
+    // tasks burn more than they parallelize.
+    val maxBytes = df.sparkSession.conf
+      .getOption("spark.graft.spread.maxBytes").map(_.toLong).getOrElse(8L << 20)
+    val sizeEst =
+      try df.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case scala.util.control.NonFatal(_) => BigInt(Long.MaxValue) }
     val target = math.max(2, df.sparkSession.sparkContext.defaultParallelism / 4)
-    val parts = try df.rdd.getNumPartitions catch { case _: Throwable => target }
-    if (parts * 2 < target) df.repartition(target) else df
+    if (sizeEst <= maxBytes) df.repartition(target) else df
   }
 
   /** Scoped session confs for an iterative op: from construction, AQE may

@@ -109,8 +109,9 @@ object GraphOps {
       val nodes = e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct().persist()
       val n = nodes.count()
+      eRaw.unpersist() // e and nodes are materialized now — drop the raw copy
       if (n == 0) {
-        eRaw.unpersist(); e.unpersist(); nodes.unpersist()
+        e.unpersist(); nodes.unpersist()
         return nodes.select(col("node"), lit(0L).as("rank_units"))
       }
       val wtot = e.groupBy(col("src")).agg(sum(col("w")).as("wt"))
@@ -134,7 +135,7 @@ object GraphOps {
       }
       val out = ranks.select(col("node"), col("r").cast("long").as("rank_units"))
         .localCheckpoint(true)
-      eRaw.unpersist(); e.unpersist(); nodes.unpersist(); ew.unpersist()
+      e.unpersist(); nodes.unpersist(); ew.unpersist()
       out
     } finally scope.restore()
   }
@@ -222,8 +223,9 @@ object GraphOps {
         .union(e.select(col("dst").as("node"))).distinct().persist()
       val isSeed = seedPred.getOrElse(lit(true))
       val n = nodes.where(isSeed).count() // scalar action — seed/node count
+      eRaw.unpersist() // e and nodes are materialized now — drop the raw copy
       if (n == 0) {
-        eRaw.unpersist(); e.unpersist(); nodes.unpersist()
+        e.unpersist(); nodes.unpersist()
         require(seedPred.isEmpty, "pageRankSeeded: no seed node is in the graph")
         return nodes.select(col("node"), lit(0L).as("rank_units"))
       }
@@ -259,7 +261,7 @@ object GraphOps {
       // executor-loss caveat applies (fail-retry, never silent corruption)
       val out = ranks.select(col("node"), col("r").cast("long").as("rank_units"))
         .localCheckpoint(true)
-      eRaw.unpersist(); e.unpersist(); nodes.unpersist(); deg.unpersist()
+      e.unpersist(); nodes.unpersist(); deg.unpersist()
       out
     } finally scope.restore()
   }

@@ -2207,9 +2207,11 @@ object TrainingOps {
     // corpus; at bench scale that is 1 partition instead of the session's
     // 32)
     val scope = new AdaptiveShuffle.Scope(spark)
-    scope.pin(AdaptiveShuffle.parts(spark, vocab.count()))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     try {
+      // pin INSIDE the try: a failing count action must still restore the
+      // session confs (the Scope contract)
+      scope.pin(AdaptiveShuffle.parts(spark, vocab.count()))
       var it = 1
       var continue = true
       while (it <= nMerges && continue) {

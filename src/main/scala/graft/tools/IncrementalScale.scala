@@ -196,11 +196,16 @@ object IncrementalScale {
       // production refresh churn: ~1% removals, ~1% radical rewrites
       val remMod = sys.env.getOrElse("INCRSCALE_REFRESH_REM_MOD", "101").toLong
       val chMod = sys.env.getOrElse("INCRSCALE_REFRESH_CH_MOD", "97").toLong
-      // (addN-1)*7 < storeN bounds the largest copy-target index below the
-      // id space, so `(j*7) % storeN` never wraps and targets stay
-      // distinct (ADVICE r7: the old `addN*7 < storeN*10` guard let
-      // storeN%7==0 configs collide, e.g. store 70000 / adds 20000)
-      require((addN - 1) * 7 < storeN, "copy targets must stay distinct")
+      // copies land only at j % 10 == 0, i.e. targets are (70·k) mod
+      // storeN for k in 0..(addN-1)/10 — distinct iff no positive k in
+      // range has 70·k ≡ 0 (mod storeN), i.e. storeN/gcd(70, storeN)
+      // exceeds the max copy index (ADVICE r7: the old
+      // `addN*7 < storeN*10` guard let storeN%7==0 configs collide,
+      // e.g. store 70000 / adds 20000; a plain no-wrap bound would
+      // over-reject valid configs like store 100000 / adds 20000)
+      val maxCopyIdx = (addN - 1) / 10
+      require(storeN / BigInt(70).gcd(BigInt(storeN)).toLong > maxCopyIdx,
+        "copy targets must stay distinct")
       val v1 = storeDocs(spark, storeN).withColumn("source", lit("s"))
       val v2docs = spark.range(0L, storeN).flatMap { i =>
         if (i % remMod == 0) None

@@ -15,6 +15,12 @@ import org.apache.spark.sql.SparkSession
   * Env: QP_SF_DIR (default /root/testdata/sf0.1), QP_CPUS (default 32),
   * QP_REPS (default 2 — the profile prints for the LAST rep, so warehouse
   * builds in rep 1 don't pollute it).
+  *
+  * Known imprecision (acceptable for a dev profiler): a stage reused by
+  * several jobs is credited to the job that registered it last, and
+  * stage-completion events posting after the 300 ms drain window are
+  * dropped — treat per-job numbers as indicative, sum-level numbers as
+  * solid.
   */
 object QProf {
   def main(args: Array[String]): Unit = {

@@ -45,10 +45,20 @@ object WriteProbe {
 
     run("warm")
     Seq("snappy", "lz4", "zstd", "uncompressed").foreach { codec =>
-      spark.conf.set("spark.sql.parquet.compression.codec", codec)
+      // TableIO.write sets the writer's compression option explicitly
+      // (from spark.graft.parquet.codec), which overrides the session's
+      // spark.sql.parquet.compression.codec — vary the graft conf or the
+      // sweep silently measures zstd four times
+      spark.conf.set("spark.graft.parquet.codec", codec)
       val ts = (1 to reps).map(r => run(s"${codec}_$r"))
       println(f"WRITEPROBE codec=$codec min=${ts.min}%.2f")
     }
+    spark.conf.unset("spark.graft.parquet.codec")
     spark.stop()
+    // free the memory-backed corpus (the Bench deleteRec doctrine —
+    // leaked tmpfs shrinks memory for later bench children)
+    import scala.jdk.CollectionConverters._
+    Files.walk(java.nio.file.Paths.get(base)).iterator().asScala.toSeq
+      .reverse.foreach(p => Files.deleteIfExists(p))
   }
 }

@@ -417,7 +417,10 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // evalMod=2 -> eval {0,2,4}, train {1,3}; 3-gram shingles: doc 0 shares
     // 6 of its 7 grams with doc 1 ("the lazy dog" vs "...cat" differs),
     // doc 2 (Spanish) shares none, doc 4 duplicates doc 0
+    // sorted: the operator contract is a row SET (the declared query adds
+    // the orderBy); physical order shifted when spread() landed (r8)
     val r = TrainingOps.contaminationCheck(spark, docsDf, n = 3, evalMod = 2)
+      .orderBy(col("doc_id"))
       .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getBoolean(4))).toList
     assert(r == List((0L, 7L, 6L, true), (2L, 8L, 0L, false), (4L, 7L, 6L, true)))
   }
@@ -466,13 +469,13 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // no false negatives (Bloom guarantee) + the exact join removes false
     // positives ⇒ bit-identical output to the plain distinct-gram join
     val bloom = TrainingOps.contaminationCheckBloom(spark, docsDf, n = 3, evalMod = 2)
-      .collect().map(_.toSeq).toSeq
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
     val exact = TrainingOps.contaminationCheck(spark, docsDf, n = 3, evalMod = 2,
-      hashGrams = true).collect().map(_.toSeq).toSeq
+      hashGrams = true).orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
     assert(bloom == exact && bloom.nonEmpty)
     // and at a deliberately terrible fpp the exact join still wins
     val sloppy = TrainingOps.contaminationCheckBloom(spark, docsDf, n = 3,
-      evalMod = 2, fpp = 0.5).collect().map(_.toSeq).toSeq
+      evalMod = 2, fpp = 0.5).orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
     assert(sloppy == exact)
   }
 
@@ -482,7 +485,8 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // doc 0 (a a b): -(2·ln(2/5) + ln(2/5))/3 = ln(5/2)          = 0.9163
     // doc 1 (b c):   -(ln(2/5) + ln(1/5))/2   = (ln2.5 + ln5)/2 = 1.2629
     val docs = Seq((0L, "a a b"), (1L, "b c")).toDF("doc_id", "text")
-    val r = TrainingOps.unigramLogProb(docs, flagThreshold = 1.0).collect()
+    val r = TrainingOps.unigramLogProb(docs, flagThreshold = 1.0)
+      .orderBy(col("doc_id")).collect()
       .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getBoolean(3))).toList
     assert(r == List((0L, 3L, 0.9163, false), (1L, 2L, 1.2629, true)))
   }
